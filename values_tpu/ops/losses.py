@@ -1,0 +1,140 @@
+"""Training losses: soft Dice, cross entropy, NLL, and the reference's
+combined objectives.
+
+Numerics contract:
+
+- :func:`soft_dice_loss` reproduces ``SoftDiceLoss``/``soft_dice``
+  (reference: uncertainty_modeling/loss_modules.py:7-94): one-hot targets,
+  per-(batch, class) ``-(2·intersect + smooth) / (sum + smooth)`` with
+  smooth=1e-5 in both nominator and denominator by default, optional
+  background exclusion and ``only_intersect`` (no final mean) mode.
+- :func:`cross_entropy` matches ``torch.nn.functional.cross_entropy`` on
+  logits with optional ``ignore_index`` (mean over non-ignored elements).
+- the reference's standard 3D objective is Dice(softmax) + CE(logits)
+  (reference: lightning_experiment.py:257-266); GTA training with
+  ignore_index=255 uses plain CE.
+
+All functions are pure jnp, differentiable, and jittable.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def one_hot_channels(labels: jnp.ndarray, num_classes: int) -> jnp.ndarray:
+    """(B, ...) int labels -> (B, C, ...) one-hot float."""
+    oh = jax.nn.one_hot(labels.astype(jnp.int32), num_classes, axis=1)
+    return oh
+
+
+def soft_dice(net_output: jnp.ndarray, gt_onehot: jnp.ndarray,
+              smooth: float = 1.0, smooth_in_nom: float = 1.0,
+              only_intersect: bool = False) -> jnp.ndarray:
+    """Soft dice over (B, C, *spatial) probabilities and one-hot targets."""
+    axes = tuple(range(2, net_output.ndim))
+    intersect = jnp.sum(net_output * gt_onehot, axis=axes)
+    denom = jnp.sum(net_output + gt_onehot, axis=axes)
+    result = -((2.0 * intersect + smooth_in_nom) / (denom + smooth))
+    if only_intersect:
+        return result
+    return jnp.mean(result)
+
+
+def soft_dice_loss(probs: jnp.ndarray, target: jnp.ndarray,
+                   do_bg: bool = True, smooth: float = 1e-5,
+                   smooth_in_nom: bool = True,
+                   only_intersect: bool = False) -> jnp.ndarray:
+    """SoftDiceLoss.forward equivalent; ``target`` is (B, *spatial) ints."""
+    nom_smooth = smooth if smooth_in_nom else 0.0
+    gt_onehot = one_hot_channels(target, probs.shape[1])
+    if not do_bg:
+        probs = probs[:, 1:]
+        gt_onehot = gt_onehot[:, 1:]
+    return soft_dice(probs, gt_onehot, smooth, nom_smooth, only_intersect)
+
+
+def cross_entropy(logits: jnp.ndarray, target: jnp.ndarray,
+                  ignore_index: Optional[int] = None,
+                  reduction: str = "mean") -> jnp.ndarray:
+    """torch-style CE on (B, C, ...) logits / (B, ...) int targets."""
+    target = target.astype(jnp.int32)
+    log_probs = jax.nn.log_softmax(logits, axis=1)
+    safe_target = target
+    if ignore_index is not None:
+        safe_target = jnp.where(target == ignore_index, 0, target)
+    picked = jnp.take_along_axis(
+        log_probs, safe_target[:, None, ...], axis=1).squeeze(1)
+    nll = -picked
+    if ignore_index is not None:
+        mask = (target != ignore_index).astype(nll.dtype)
+        nll = nll * mask
+        if reduction == "mean":
+            return jnp.sum(nll) / jnp.maximum(jnp.sum(mask), 1.0)
+        if reduction == "none":
+            return nll
+        return jnp.sum(nll)
+    if reduction == "mean":
+        return jnp.mean(nll)
+    if reduction == "none":
+        return nll
+    return jnp.sum(nll)
+
+
+def dice_ce_loss(logits: jnp.ndarray, target: jnp.ndarray,
+                 ignore_index: int = 0) -> jnp.ndarray:
+    """The reference's standard objective (lightning_experiment.py:257-266):
+    SoftDice(softmax) + CE when ignore_index == 0, plain CE with
+    ignore_index otherwise (the GTA/Cityscapes 255 path)."""
+    if ignore_index != 0:
+        return cross_entropy(logits, target, ignore_index=ignore_index)
+    probs = jax.nn.softmax(logits, axis=1)
+    return soft_dice_loss(probs, target) + cross_entropy(logits, target)
+
+
+def aleatoric_sampling_loss(mu: jnp.ndarray, s: jnp.ndarray,
+                            target: jnp.ndarray, rng: jax.Array,
+                            n_samples: int = 10) -> jnp.ndarray:
+    """Aleatoric logit-sampling objective (lightning_experiment.py:239-255):
+    sigma = exp(s/2); draw N logit samples mu + sigma*eps; average their
+    log-softmaxes with logsumexp - log N; Dice(exp(avg)) + NLL(avg)."""
+    sigma = jnp.exp(s / 2.0)
+    eps = jax.random.normal(rng, (n_samples,) + mu.shape, dtype=mu.dtype)
+    samples = mu[None] + sigma[None] * eps
+    # NB the reference calls F.log_softmax without dim (implicit dim=1 for
+    # its 5D inputs under torch's legacy default).
+    log_sample_prob = jax.nn.log_softmax(samples, axis=2)
+    log_avg = jax.nn.logsumexp(log_sample_prob, axis=0) - jnp.log(
+        jnp.asarray(n_samples, dtype=mu.dtype))
+    target = target.astype(jnp.int32)
+    from .metrics import nll_loss
+    return soft_dice_loss(jnp.exp(log_avg), target) + nll_loss(log_avg, target)
+
+
+def ssn_mc_loglikelihood_loss(logit_samples: jnp.ndarray,
+                              target: jnp.ndarray,
+                              ignore_index: int = 0) -> jnp.ndarray:
+    """SSN Monte-Carlo loglikelihood loss (lightning_experiment.py:175-219).
+
+    Args:
+        logit_samples: (S, B, C, *spatial) rsampled logits.
+        target: (B, *spatial) int labels.
+    Loss = -mean_b [ logsumexp_s sum_voxels log p(y|x_s) - log S ].
+    """
+    n_samples, batch = logit_samples.shape[:2]
+    target_rep = jnp.broadcast_to(target[None], (n_samples,) + target.shape)
+    flat_logits = logit_samples.reshape(
+        n_samples * batch, logit_samples.shape[2], -1)
+    flat_target = target_rep.reshape(n_samples * batch, -1)
+    ce_kwargs = {}
+    if ignore_index != 0:
+        ce_kwargs["ignore_index"] = ignore_index
+    log_prob = -cross_entropy(
+        flat_logits, flat_target, reduction="none", **ce_kwargs)
+    log_prob = log_prob.reshape(n_samples, batch, -1)
+    loglik = jnp.mean(
+        jax.nn.logsumexp(jnp.sum(log_prob, axis=-1), axis=0)
+        - jnp.log(jnp.asarray(n_samples, dtype=log_prob.dtype)))
+    return -loglik
