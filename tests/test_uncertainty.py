@@ -57,8 +57,9 @@ def test_one_minus_msr():
 def test_unnormalized_sums_match_reference_torch(rng):
     """Reference computes uncertainty on raw scatter-added sums; verify our
     guard semantics against a direct torch transcript of the formula."""
+    import jax
     import torch
-    sums = (rng.rand(3, 2, 4, 4, 4) * 2.0).astype(np.float32)
+    sums = rng.rand(3, 2, 4, 4, 4) * 2.0
     sums[0, :, 0, 0, 0] = 0.0  # raw sums can exceed 1 and contain exact zeros
     mean_softmax = torch.tensor(sums).mean(dim=0)
     pe = torch.zeros(*sums.shape[2:])
@@ -67,8 +68,10 @@ def test_unnormalized_sums_match_reference_torch(rng):
         nan = torch.isnan(val)
         pe[~nan] += val[~nan]
     pe *= -1
-    out = U.uncertainty_measures(sums)
-    assert np.allclose(np.asarray(out["pred_entropy"]), pe.numpy(), atol=1e-6)
+    with jax.experimental.enable_x64():
+        out = U.uncertainty_measures(sums)
+        got = np.asarray(out["pred_entropy"])
+    assert np.allclose(got, pe.numpy(), atol=1e-12)
 
 
 def test_fused_sample_statistics_consistency(rng):
