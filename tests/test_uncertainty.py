@@ -68,7 +68,7 @@ def test_unnormalized_sums_match_reference_torch(rng):
         nan = torch.isnan(val)
         pe[~nan] += val[~nan]
     pe *= -1
-    with jax.experimental.enable_x64():
+    with jax.enable_x64(True):
         out = U.uncertainty_measures(sums)
         got = np.asarray(out["pred_entropy"])
     assert np.allclose(got, pe.numpy(), atol=1e-12)
