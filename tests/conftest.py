@@ -9,10 +9,20 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The shell presets JAX_PLATFORMS=axon (TPU tunnel); tests always run on the
+# virtual CPU mesh unless explicitly overridden.
+os.environ["JAX_PLATFORMS"] = os.environ.get("VALUES_TEST_PLATFORM", "cpu")
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# Compilation in this environment goes through a remote compile service
+# (~seconds of wall per jit); the persistent cache makes reruns cheap.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 @pytest.fixture

@@ -1,0 +1,111 @@
+"""Import reference torch checkpoints into values_tpu parameter pytrees.
+
+The reference's inference reconstructs everything from a PyTorch-Lightning
+``.ckpt`` holding ``state_dict`` (keys prefixed ``model.``) and
+``hyper_parameters`` (the full hydra config) — reference:
+uncertainty_modeling/test_3D.py:222-247,635-668. This module converts those
+torch tensors into the flax parameter trees of
+:class:`values_tpu.models.unet3d.UNet3D` (and its SSN variant) so trained
+reference models run unchanged on TPU.
+
+Weight layout conversions:
+- Conv3d weight (O, I, kd, kh, kw)          -> kernel (kd, kh, kw, I, O)
+- ConvTranspose3d weight (I, O, kd, kh, kw) -> kernel (kd, kh, kw, I, O)
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+
+# torch sequential-index -> flax submodule name inside the UNet3D
+_CENTER_MAP = {"0": "center_conv1", "2": "center_conv2", "4": "center_up"}
+_PARAM_MAP = {"weight": "kernel", "bias": "bias"}
+
+_BLOCK_RE = re.compile(r"^(contr_\d_\d|expand_\d_\d)\.0\.(weight|bias)$")
+_CENTER_RE = re.compile(r"^center\.(\d)\.(weight|bias)$")
+_PLAIN_CONV_RE = re.compile(
+    r"^(final|final_aleatoric|output_reconstruction_map|mean_conv|"
+    r"log_cov_diag_conv|cov_factor_conv)\.(weight|bias)$")
+_UPSCALE_RE = re.compile(r"^(upscale\d)\.(weight|bias)$")
+
+
+def _to_numpy(tensor: Any) -> np.ndarray:
+    if hasattr(tensor, "detach"):
+        return tensor.detach().cpu().numpy()
+    return np.asarray(tensor)
+
+
+def _convert_conv_weight(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 4, 1, 0))
+
+
+def _convert_convtranspose_weight(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 4, 0, 1))
+
+
+def strip_model_prefix(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """Strip the Lightning ``model.`` key prefix (test_3D.py:236-238)."""
+    return {
+        (k[len("model."):] if k.startswith("model.") else k): v
+        for k, v in state_dict.items()
+    }
+
+
+def unet3d_params_from_torch(state_dict: Mapping[str, Any],
+                             dtype: Any = np.float32) -> Dict[str, Any]:
+    """Convert a (possibly ``model.``-prefixed) UNet3D/SsnUNet3D torch
+    state_dict into a flax ``{"params": ...}`` variables dict."""
+    state_dict = strip_model_prefix(state_dict)
+    params: Dict[str, Any] = {}
+
+    def put(module: str, leaf: str, value: np.ndarray) -> None:
+        params.setdefault(module, {})[leaf] = value.astype(dtype)
+
+    for key, tensor in state_dict.items():
+        arr = _to_numpy(tensor)
+        m = _BLOCK_RE.match(key)
+        if m:
+            block, leaf = m.groups()
+            value = _convert_conv_weight(arr) if leaf == "weight" else arr
+            params.setdefault(block, {}).setdefault("conv", {})[
+                _PARAM_MAP[leaf]] = value.astype(dtype)
+            continue
+        m = _CENTER_RE.match(key)
+        if m:
+            idx, leaf = m.groups()
+            module = _CENTER_MAP[idx]
+            if leaf == "weight":
+                value = (_convert_convtranspose_weight(arr)
+                         if module == "center_up"
+                         else _convert_conv_weight(arr))
+            else:
+                value = arr
+            put(module, _PARAM_MAP[leaf], value)
+            continue
+        m = _UPSCALE_RE.match(key)
+        if m:
+            module, leaf = m.groups()
+            value = (_convert_convtranspose_weight(arr)
+                     if leaf == "weight" else arr)
+            put(module, _PARAM_MAP[leaf], value)
+            continue
+        m = _PLAIN_CONV_RE.match(key)
+        if m:
+            module, leaf = m.groups()
+            value = _convert_conv_weight(arr) if leaf == "weight" else arr
+            put(module, _PARAM_MAP[leaf], value)
+            continue
+        raise KeyError(f"Unrecognized UNet3D state_dict key: {key}")
+
+    return {"params": params}
+
+
+def load_reference_checkpoint(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Read a reference ``.ckpt``; returns (hyper_parameters, variables)."""
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    hparams = ckpt["hyper_parameters"]
+    variables = unet3d_params_from_torch(ckpt["state_dict"])
+    return hparams, variables
