@@ -1,0 +1,150 @@
+"""Sliding-window engine: equivalence to a per-window reference-style loop."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from values_tpu.models.unet3d import UNet3D
+from values_tpu.inference.engine import SlidingWindowEngine
+from values_tpu.inference.carrier import VolumeCarrier
+from values_tpu.ops.window import enumerate_window_starts
+
+P = 16  # small patch for CPU test speed (4 pooling levels need /16)
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    model = UNet3D(num_classes=2, initial_filter_size=2)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, P, P, P, 1)))
+    return model, variables
+
+
+def test_engine_matches_per_window_loop(rng, small_model):
+    model, variables = small_model
+    vol = rng.rand(P, 2 * P, P).astype(np.float32)
+    engine = SlidingWindowEngine(model, [variables], mode="default",
+                                 n_pred=1, patch_size=P)
+    softmax_sums, counts, data_sums, seg_sums, _ = engine.run_volume(vol)
+    assert softmax_sums.shape == (1, 2, P, 2 * P, P)
+    np.testing.assert_array_equal(counts, np.ones_like(vol))
+
+    # reference-style host loop: per-window forward + numpy scatter-add
+    starts = enumerate_window_starts(vol.shape, P, 1.0)
+    expect = np.zeros((2, P, 2 * P, P), dtype=np.float32)
+    fwd = jax.jit(model.apply)
+    for s0, s1, s2 in starts:
+        win = vol[s0:s0 + P, s1:s1 + P, s2:s2 + P]
+        logits = fwd(variables, jnp.asarray(win)[None, ..., None])
+        sm = np.asarray(jax.nn.softmax(logits, axis=-1))[0]
+        expect[:, s0:s0 + P, s1:s1 + P, s2:s2 + P] += sm.transpose(3, 0, 1, 2)
+    np.testing.assert_allclose(softmax_sums[0], expect, atol=2e-5)
+    np.testing.assert_allclose(data_sums, vol, atol=0)
+
+
+def test_ensemble_sample_ordering(rng, small_model):
+    model, v0 = small_model
+    v1 = jax.tree_util.tree_map(lambda x: x + 0.05, v0)
+    vol = rng.rand(P, P, P).astype(np.float32)
+    engine = SlidingWindowEngine(model, [v0, v1], mode="default",
+                                 n_pred=1, patch_size=P)
+    softmax_sums, *_ = engine.run_volume(vol)
+    assert softmax_sums.shape[0] == 2
+    single0 = SlidingWindowEngine(model, [v0], mode="default", n_pred=1,
+                                  patch_size=P).run_volume(vol)[0]
+    single1 = SlidingWindowEngine(model, [v1], mode="default", n_pred=1,
+                                  patch_size=P).run_volume(vol)[0]
+    # vmap over stacked params reassociates f32 reductions (instance norm)
+    np.testing.assert_allclose(softmax_sums[0], single0[0], atol=2e-3)
+    np.testing.assert_allclose(softmax_sums[1], single1[0], atol=2e-3)
+    assert not np.allclose(softmax_sums[0], softmax_sums[1])
+
+
+def test_mc_dropout_stochastic_passes(rng):
+    model = UNet3D(num_classes=2, initial_filter_size=2, do_dropout=True)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, P, P, P, 1)))
+    vol = rng.rand(P, P, P).astype(np.float32)
+    engine = SlidingWindowEngine(model, [variables], mode="default",
+                                 n_pred=3, patch_size=P, seed=7)
+    softmax_sums, *_ = engine.run_volume(vol)
+    assert softmax_sums.shape[0] == 3
+    # different MC passes differ
+    assert not np.allclose(softmax_sums[0], softmax_sums[1])
+    # deterministic under the same engine seed
+    engine2 = SlidingWindowEngine(model, [variables], mode="default",
+                                  n_pred=3, patch_size=P, seed=7)
+    softmax_sums2, *_ = engine2.run_volume(vol)
+    np.testing.assert_array_equal(softmax_sums, softmax_sums2)
+
+
+def test_tta_has_16_samples_and_clean_first(rng, small_model):
+    model, variables = small_model
+    vol = rng.rand(P, P, P).astype(np.float32)
+    engine = SlidingWindowEngine(model, [variables], mode="tta",
+                                 patch_size=P)
+    softmax_sums, *_ = engine.run_volume(vol)
+    assert softmax_sums.shape[0] == 16
+    plain = SlidingWindowEngine(model, [variables], mode="default",
+                                n_pred=1, patch_size=P).run_volume(vol)[0]
+    # sample 0 is the un-augmented clean forward (modulo f32 vmap noise)
+    np.testing.assert_allclose(softmax_sums[0], plain[0], atol=2e-3)
+
+
+def test_aleatoric_returns_sigma(rng):
+    model = UNet3D(num_classes=2, initial_filter_size=2, aleatoric_loss=True)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, P, P, P, 1)))
+    vol = rng.rand(P, P, P).astype(np.float32)
+    engine = SlidingWindowEngine(model, [variables], mode="aleatoric",
+                                 n_aleatoric_samples=4, patch_size=P)
+    softmax_sums, counts, data, seg, sigma_sums = engine.run_volume(vol)
+    assert softmax_sums.shape[0] == 4
+    assert sigma_sums is not None and sigma_sums.shape == softmax_sums.shape
+    # sigma identical across samples of the same model
+    np.testing.assert_allclose(sigma_sums[0], sigma_sums[1], atol=0)
+
+
+def test_run_samples_and_carrier_outputs(rng, small_model, tmp_path):
+    model, variables = small_model
+    # build two fake preprocessed images with 2 raters each
+    samples = []
+    for i in range(2):
+        vol = rng.rand(P, P, P).astype(np.float32)
+        img = tmp_path / f"{i}.npy"
+        np.save(img, vol)
+        label_paths = []
+        for r in range(2):
+            lbl = (rng.rand(P, P, P) > 0.5).astype(np.intc)
+            lp = tmp_path / f"{i}_{r:02d}.npy"
+            np.save(lp, lbl)
+            label_paths.append(str(lp))
+        samples.append({"image_path": str(img), "label_paths": label_paths,
+                        "crop_idx": ((0, P), (0, P), (0, P))})
+
+    engine = SlidingWindowEngine(model, [variables], mode="default",
+                                 n_pred=2, patch_size=P)
+    carrier = engine.run_samples(samples)
+    carrier.compute_uncertainty(ssn=False)
+    carrier.compute_metrics()
+    carrier.save_data(str(tmp_path / "exp"), "TestExp", 0, test_split="id")
+    carrier.log_metrics()
+
+    base = tmp_path / "exp" / "TestExp" / "test_results" / "0" / "id"
+    assert (base / "metrics.json").exists()
+    assert (base / "input" / "0.nii.gz").exists()
+    assert (base / "gt_seg" / "0_01.nii.gz").exists()
+    assert (base / "pred_seg" / "0_mean.nii.gz").exists()
+    assert (base / "pred_seg" / "0_02.nii.gz").exists()
+    assert (base / "pred_prob" / "0_mean_01.nii.gz").exists()
+    assert (base / "pred_entropy" / "0.nii.gz").exists()
+    assert (base / "aleatoric_uncertainty" / "0.nii.gz").exists()
+    assert (base / "epistemic_uncertainty" / "0.nii.gz").exists()
+
+    import json
+    metrics = json.loads((base / "metrics.json").read_text())
+    assert "mean" in metrics
+    img_metrics = metrics[str(tmp_path / "0.npy")]
+    assert {"loss", "dice", "ged"} <= set(img_metrics)
+    assert "max dice pred" in img_metrics

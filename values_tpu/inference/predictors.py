@@ -1,0 +1,145 @@
+"""C1 prediction models: the N stochastic forward passes as one vmapped,
+device-resident computation.
+
+The reference runs Python loops over ensemble members x n_pred passes x TTA
+variants with per-window H2D/D2H transfers (reference:
+uncertainty_modeling/test_3D.py:399-483). Here each C1 mode compiles to a
+single jitted function producing the full (S, B, *spatial, C) softmax stack:
+
+- ``default``: ensemble members stacked along a leading params axis and
+  vmapped; n_pred MC passes vmapped over per-pass dropout keys. Models are
+  *never switched to eval mode* in the reference (test_3D.py:222-247), so
+  dropout stays active whenever the architecture has it — reproduced by
+  deterministic=False iff the model carries dropout.
+- ``tta``: clean + Gaussian-noised input x {identity + 7 flip combos}; the
+  noise variance is drawn U(0, 0.1) per volume, matching batchgenerators'
+  GaussianNoiseTransform defaults used at test_3D.py:432; outputs are
+  un-flipped before stacking, order = [clean, clean-flips..., noise,
+  noise-flips...] per member (test_3D.py:427-456).
+- ``aleatoric``: one (mu, s) forward, then n samples of softmax(mu +
+  exp(s/2) * eps) (test_3D.py:458-469).
+- ``ssn``: low-rank MVN logit samples (see values_tpu.models.ssn_unet3d).
+
+The sample axis S is an ordinary array axis: shard it over a mesh ``sample``
+axis with pjit for multi-chip ensembles (SURVEY.md §2.7).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+# the 7 flip-axis combinations of test_3D.py:434 in NCDHW terms (2,3,4)
+# translated to our (B, D, H, W, C) layout -> spatial axes (1, 2, 3)
+FLIP_COMBOS: Sequence[tuple] = ((1,), (2,), (3,), (1, 2), (1, 3), (2, 3),
+                                (1, 2, 3))
+
+
+def stack_params(variables_list: List[Any]) -> Any:
+    """Stack a list of identically-structured variable pytrees along a new
+    leading axis (the ensemble axis)."""
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs, axis=0), *variables_list)
+
+
+def _apply_softmax(model, variables, x, rng=None, stochastic=False):
+    kwargs = {}
+    if stochastic:
+        out = model.apply(variables, x, deterministic=False,
+                          rngs={"dropout": rng})
+    else:
+        out = model.apply(variables, x, deterministic=True)
+    return jax.nn.softmax(out, axis=-1)
+
+
+def make_default_predictor(model, n_models: int, n_pred: int,
+                           stochastic: bool) -> Callable:
+    """(stacked_variables, x, rng) -> (n_models * n_pred, B, *sp, C).
+
+    Sample ordering matches the reference's nested loops (models outer,
+    preds inner; test_3D.py:424,470).
+    """
+    def predict(stacked_variables, x, rng):
+        keys = jax.random.split(rng, n_models * n_pred).reshape(
+            n_models, n_pred, 2)
+
+        def per_model(variables, model_keys):
+            def per_pred(key):
+                return _apply_softmax(model, variables, x, key, stochastic)
+            return jax.vmap(per_pred)(model_keys)  # (n_pred, B, *sp, C)
+
+        out = jax.vmap(per_model)(stacked_variables, keys)
+        return out.reshape((n_models * n_pred,) + out.shape[2:]), None
+
+    return predict
+
+
+def make_tta_predictor(model, n_models: int) -> Callable:
+    """(stacked_variables, x, rng) -> (n_models * 16, B, *sp, C)."""
+    def predict(stacked_variables, x, rng):
+        var_key, noise_key = jax.random.split(rng)
+        variance = jax.random.uniform(var_key, (), minval=0.0, maxval=0.1)
+        noise = jax.random.normal(noise_key, x.shape, dtype=x.dtype)
+        x_noise = x + noise * jnp.sqrt(variance)
+
+        def all_variants(variables, inp):
+            outs = [_apply_softmax(model, variables, inp)]
+            for axes in FLIP_COMBOS:
+                flipped = jnp.flip(inp, axis=axes)
+                out = _apply_softmax(model, variables, flipped)
+                outs.append(jnp.flip(out, axis=axes))
+            return jnp.stack(outs)  # (8, B, *sp, C)
+
+        def per_model(variables):
+            clean = all_variants(variables, x)
+            noisy = all_variants(variables, x_noise)
+            return jnp.concatenate([clean, noisy])  # (16, B, *sp, C)
+
+        out = jax.vmap(per_model)(stacked_variables)
+        return out.reshape((n_models * 16,) + out.shape[2:]), None
+
+    return predict
+
+
+def make_aleatoric_predictor(model, n_models: int,
+                             n_aleatoric_samples: int) -> Callable:
+    """(stacked_variables, x, rng) -> (n_models * n_samples, B, *sp, C)."""
+    def predict(stacked_variables, x, rng):
+        keys = jax.random.split(rng, n_models)
+
+        def per_model(variables, key):
+            mu, s = model.apply(variables, x, deterministic=True)
+            sigma = jnp.exp(s / 2.0)
+            eps = jax.random.normal(
+                key, (n_aleatoric_samples,) + mu.shape, dtype=mu.dtype)
+            logits = mu[None] + sigma[None] * eps
+            # reference stores the same per-model sigma for every sample
+            # (test_3D.py:461-469)
+            sigma_rep = jnp.broadcast_to(
+                sigma[None], (n_aleatoric_samples,) + sigma.shape)
+            return jax.nn.softmax(logits, axis=-1), sigma_rep
+
+        out, sigmas = jax.vmap(per_model)(stacked_variables, keys)
+        s_total = n_models * n_aleatoric_samples
+        return (out.reshape((s_total,) + out.shape[2:]),
+                sigmas.reshape((s_total,) + sigmas.shape[2:]))
+
+    return predict
+
+
+def make_predictor(model, mode: str, n_models: int, n_pred: int = 1,
+                   n_aleatoric_samples: int = 10,
+                   stochastic: Optional[bool] = None) -> Callable:
+    """Factory returning a jittable (stacked_variables, x, rng) -> softmax
+    stack function for the given C1 mode."""
+    if stochastic is None:
+        stochastic = bool(getattr(model, "do_dropout", False))
+    if mode == "tta":
+        return make_tta_predictor(model, n_models)
+    if mode == "aleatoric":
+        return make_aleatoric_predictor(model, n_models, n_aleatoric_samples)
+    if mode == "default":
+        return make_default_predictor(model, n_models, n_pred, stochastic)
+    raise ValueError(f"Unknown C1 prediction mode: {mode}")
