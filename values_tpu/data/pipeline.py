@@ -1,0 +1,161 @@
+"""Host-side input pipeline: crop/augment workers + device prefetch.
+
+Replaces batchgenerators' MultiThreadedAugmenter process pool (reference:
+toy_datamodule_3D.py:369-523). TPU hosts feed the chip: batch assembly
+(random crop, random rater choice, mirror/noise augmentation) runs on host
+CPU with a background prefetch thread double-buffering batches while the
+device computes (SURVEY.md §2.7 "intra-node worker parallelism").
+
+Reproduced statistical contract (not bit-parity with torch RNG):
+- per-epoch shuffle seeded by the epoch counter (``RandomState(num_restarted)``,
+  toy_datamodule_3D.py:420-431),
+- one randomly chosen rater label per sample per epoch (:469),
+- random crop start ~ randint(0, shape-patch) per axis (batchgenerators
+  ``crop(..., crop_type='random')``),
+- MirrorTransform: each spatial axis flipped with p=0.5 per sample,
+- GaussianNoiseTransform: additive N(0, s) with s ~ U(0, 0.1) (the
+  batchgenerators "variance"-as-scale quirk, augment_gaussian_noise).
+
+Batches are channels-last: data (B, p, p, p, 1) float32, seg (B, p, p, p).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+class NumpyBatchLoader:
+    """Finite per-epoch iterator over training or validation batches."""
+
+    def __init__(self, samples: Sequence[Dict], batch_size: int,
+                 patch_size: int, training: bool = True,
+                 augment: bool = False, seed: int = 42,
+                 prefetch: int = 2, drop_last: bool = False):
+        self.samples = list(samples)
+        self.batch_size = batch_size
+        self.patch_size = patch_size
+        self.training = training
+        self.augment = augment
+        self.seed = seed
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self.num_restarted = 0
+
+    def __len__(self) -> int:
+        n = len(self.samples)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    # -- single-sample assembly ---------------------------------------
+    def _load_sample(self, sample: Dict, rs: np.random.RandomState):
+        image = np.load(sample["image_path"], mmap_mode="r")
+        label_path = None
+        if sample.get("label_paths"):
+            # the reference picks one random rater in BOTH train and val
+            # (toy_datamodule_3D.py:469, random.choice in
+            # generate_train_batch regardless of `training`)
+            label_path = sample["label_paths"][
+                rs.randint(len(sample["label_paths"]))]
+        if self.training:
+            p = self.patch_size
+            starts = [
+                rs.randint(0, dim - p) if dim > p else 0
+                for dim in image.shape[:3]]
+            sl = tuple(slice(s, s + p) for s in starts)
+            image_patch = np.asarray(image[sl], dtype=np.float32)
+            label_patch = None
+            if label_path is not None:
+                label_patch = np.asarray(
+                    np.load(label_path, mmap_mode="r")[sl], dtype=np.int32)
+            if self.augment:
+                image_patch, label_patch = self._augment(
+                    image_patch, label_patch, rs)
+            return image_patch, label_patch, label_path
+        # validation: fixed window
+        crop = sample["crop_idx"]
+        sl = tuple(slice(c[0], c[1]) for c in crop)
+        image_patch = np.asarray(image[sl], dtype=np.float32)
+        label_patch = None
+        if label_path is not None:
+            label_patch = np.asarray(
+                np.load(label_path, mmap_mode="r")[sl], dtype=np.int32)
+        return image_patch, label_patch, label_path
+
+    @staticmethod
+    def _augment(image: np.ndarray, label: Optional[np.ndarray],
+                 rs: np.random.RandomState):
+        for axis in range(3):
+            if rs.uniform() < 0.5:
+                image = np.flip(image, axis=axis)
+                if label is not None:
+                    label = np.flip(label, axis=axis)
+        scale = rs.uniform(0.0, 0.1)
+        image = image + rs.normal(0.0, scale, size=image.shape).astype(
+            np.float32)
+        return np.ascontiguousarray(image), (
+            np.ascontiguousarray(label) if label is not None else None)
+
+    # -- epoch iteration ----------------------------------------------
+    def _epoch_batches(self) -> Iterator[Dict]:
+        rs = np.random.RandomState(self.seed + self.num_restarted)
+        order = np.arange(len(self.samples))
+        if self.training:
+            rs.shuffle(order)
+        self.num_restarted += 1
+        for i in range(0, len(order),
+                       self.batch_size):
+            idx = order[i:i + self.batch_size]
+            if self.drop_last and len(idx) < self.batch_size:
+                return
+            data, segs, image_paths, label_paths, crops = [], [], [], [], []
+            for j in idx:
+                sample = self.samples[j]
+                image, label, lp = self._load_sample(sample, rs)
+                data.append(image)
+                segs.append(label)
+                image_paths.append(sample["image_path"])
+                label_paths.append(lp)
+                if not self.training:
+                    crops.append(sample["crop_idx"])
+            batch = {
+                "data": np.stack(data)[..., None],
+                "image_paths": image_paths,
+                "label_paths": label_paths,
+            }
+            if segs[0] is not None:
+                batch["seg"] = np.stack(segs)
+            if crops:
+                batch["crop_idx"] = crops
+            yield batch
+
+    def __iter__(self) -> Iterator[Dict]:
+        if self.prefetch <= 0:
+            yield from self._epoch_batches()
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        error: List[BaseException] = []
+
+        def worker():
+            try:
+                for batch in self._epoch_batches():
+                    q.put(batch)
+            except BaseException as e:  # propagate into the consumer
+                error.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+        if error:
+            raise error[0]

@@ -80,9 +80,11 @@ def make_tta_predictor(model, n_models: int) -> Callable:
     """(stacked_variables, x, rng) -> (n_models * 16, B, *sp, C)."""
     def predict(stacked_variables, x, rng):
         var_key, noise_key = jax.random.split(rng)
+        # batchgenerators' augment_gaussian_noise draws "variance" ~ U(0,0.1)
+        # but passes it as np.random.normal's *scale* (std) — reproduce that.
         variance = jax.random.uniform(var_key, (), minval=0.0, maxval=0.1)
         noise = jax.random.normal(noise_key, x.shape, dtype=x.dtype)
-        x_noise = x + noise * jnp.sqrt(variance)
+        x_noise = x + noise * variance
 
         def all_variants(variables, inp):
             outs = [_apply_softmax(model, variables, inp)]

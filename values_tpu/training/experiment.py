@@ -1,0 +1,179 @@
+"""Experiment: model + optimizer + jitted train/val steps.
+
+Functional replacement for the reference's ``LightningExperiment``
+(reference: uncertainty_modeling/lightning_experiment.py:28-444). Three
+training objectives, selected exactly like the reference's
+``training_step`` (:221-266):
+
+- SSN models: pretrain-then-sample Monte-Carlo loglikelihood
+  (rsample N logits, per-sample CE, logsumexp - log N; :175-219),
+- aleatoric logit sampling: sigma=exp(s/2), N eps-samples, logsumexp-
+  averaged log-softmax, Dice + NLL (:239-255),
+- default: SoftDice(softmax) + CE, or plain CE with ignore_index for the
+  GTA path (:257-266).
+
+The whole update is one jitted, donated-state step; batches arrive
+channels-last. Validation mirrors ``validation_step`` (:278-331): loss +
+micro Dice with the datamodule's ignore_index.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, instantiate
+from ..models.ssn_unet3d import SsnUNet3D
+from ..ops import losses as L
+from ..ops import metrics as M
+from . import optim
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def _to_channel_first(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.moveaxis(x, -1, 1)
+
+
+class Experiment:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.ignore_index = int(cfg.select("datamodule.ignore_index", 0))
+        self.learning_rate = float(cfg.get("learning_rate", 1e-4))
+        self.weight_decay = float(cfg.get("weight_decay", 1e-6))
+        self.aleatoric_loss = bool(cfg.get("aleatoric_loss") or False)
+        self.n_aleatoric_samples = int(cfg.get("n_aleatoric_samples", 10))
+        self.pretrain_epochs = int(cfg.get("pretrain_epochs", 5))
+
+        model_cfg = cfg.model
+        if cfg.get("aleatoric_loss") is not None:
+            self.model = instantiate(model_cfg,
+                                     aleatoric_loss=cfg.get("aleatoric_loss"))
+        else:
+            self.model = instantiate(model_cfg)
+        self.is_ssn = isinstance(self.model, SsnUNet3D) or bool(
+            getattr(self.model, "ssn", False))
+        self.has_dropout = bool(getattr(self.model, "do_dropout", False))
+        self.num_classes = int(getattr(self.model, "num_classes"))
+
+        self.optimizer = self._build_optimizer()
+        self.lr_schedule = self._build_lr_schedule()
+        self.current_epoch = 0
+
+    # ------------------------------------------------------------------
+    def _build_optimizer(self):
+        opt_cfg = self.cfg.get("optimizer")
+        if opt_cfg:
+            return instantiate(opt_cfg)
+        return optim.adam(lr=self.learning_rate,
+                          weight_decay=self.weight_decay)
+
+    def _build_lr_schedule(self) -> optim.LRSchedule:
+        sched_cfg = self.cfg.get("lr_scheduler")
+        base_lr = float(self.cfg.select("optimizer.lr", self.learning_rate))
+        if sched_cfg:
+            factory = instantiate(sched_cfg)  # -> lambda base_lr: LRSchedule
+            return factory(base_lr)
+        return optim.LRSchedule("plateau", base_lr, patience=10,
+                                interval="epoch")
+
+    # ------------------------------------------------------------------
+    def init_state(self, rng: jax.Array, patch_size: int,
+                   in_channels: int = 1) -> TrainState:
+        sample = jnp.zeros((1,) + (patch_size,) * 3 + (in_channels,))
+        variables = jax.jit(self.model.init)(rng, sample)
+        params = variables["params"]
+        opt_state = self.optimizer.init(params)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=jnp.zeros((), dtype=jnp.int32))
+
+    def state_from_variables(self, variables: Any) -> TrainState:
+        params = variables["params"] if "params" in variables else variables
+        return TrainState(params=params,
+                          opt_state=self.optimizer.init(params),
+                          step=jnp.zeros((), dtype=jnp.int32))
+
+    # ------------------------------------------------------------------
+    def _loss(self, params, batch, rng, pretrain: bool):
+        data = batch["data"]
+        target = batch["seg"].astype(jnp.int32)
+        apply_kwargs: Dict[str, Any] = {}
+        if self.has_dropout:
+            rng, dropout_rng = jax.random.split(rng)
+            apply_kwargs = dict(deterministic=False,
+                                rngs={"dropout": dropout_rng})
+        variables = {"params": params}
+
+        if self.is_ssn:
+            dist = self.model.apply(variables, data,
+                                    mean_only=pretrain, **apply_kwargs)
+            samples = dist.rsample(rng, (self.n_aleatoric_samples,))
+            event = (self.num_classes,) + data.shape[1:-1]
+            logit_samples = samples.reshape(
+                (self.n_aleatoric_samples, data.shape[0]) + event)
+            return L.ssn_mc_loglikelihood_loss(
+                logit_samples, target, ignore_index=self.ignore_index)
+        if self.aleatoric_loss:
+            mu, s = self.model.apply(variables, data, **apply_kwargs)
+            return L.aleatoric_sampling_loss(
+                _to_channel_first(mu), _to_channel_first(s), target, rng,
+                n_samples=self.n_aleatoric_samples)
+        logits = self.model.apply(variables, data, **apply_kwargs)
+        return L.dice_ce_loss(_to_channel_first(logits), target,
+                              ignore_index=self.ignore_index)
+
+    @functools.partial(jax.jit, static_argnums=(0, 4),
+                       donate_argnums=(1,))
+    def train_step(self, state: TrainState, batch: Dict, rng: jax.Array,
+                   pretrain: bool = False) -> Tuple[TrainState, jnp.ndarray]:
+        loss, grads = jax.value_and_grad(self._loss)(
+            state.params, batch, rng, pretrain)
+        updates, opt_state = self.optimizer.update(
+            grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def val_step(self, params, batch: Dict,
+                 rng: jax.Array) -> Dict[str, jnp.ndarray]:
+        data = batch["data"]
+        target = batch["seg"].astype(jnp.int32)
+        variables = {"params": params}
+        if self.is_ssn:
+            dist = self.model.apply(variables, data)
+            samples = dist.rsample(rng, (self.n_aleatoric_samples,))
+            event = (self.num_classes,) + data.shape[1:-1]
+            logit_samples = samples.reshape(
+                (self.n_aleatoric_samples, data.shape[0]) + event)
+            loss = L.ssn_mc_loglikelihood_loss(
+                logit_samples, target, ignore_index=self.ignore_index)
+            labels = jnp.argmax(logit_samples, axis=2)
+            dices = jax.vmap(
+                lambda l: M.dice_score(l, target,
+                                       ignore_index=self.ignore_index,
+                                       num_classes=self.num_classes))(labels)
+            return {"val_loss": loss, "val_dice": jnp.mean(dices)}
+        if self.aleatoric_loss:
+            mu, s = self.model.apply(variables, data)
+            mu_cf, s_cf = _to_channel_first(mu), _to_channel_first(s)
+            loss = L.aleatoric_sampling_loss(
+                mu_cf, s_cf, target, rng,
+                n_samples=self.n_aleatoric_samples)
+            dice = M.dice_score(mu_cf, target,
+                                ignore_index=self.ignore_index)
+            return {"val_loss": loss, "val_dice": dice}
+        logits = self.model.apply(variables, data)
+        logits_cf = _to_channel_first(logits)
+        loss = L.dice_ce_loss(logits_cf, target,
+                              ignore_index=self.ignore_index)
+        dice = M.dice_score(logits_cf, target,
+                            ignore_index=self.ignore_index)
+        return {"val_loss": loss, "val_dice": dice}

@@ -1,0 +1,147 @@
+"""The fit loop: epochs over the host pipeline feeding the jitted step.
+
+Mirrors the reference's Trainer wiring (reference:
+uncertainty_modeling/main.py:33-88): datamodule prepare/setup, per-epoch
+train + validation, TensorBoard scalar logging, LR scheduling (polynomial
+per-step / plateau per-epoch), and self-describing checkpoints saved under
+``save_dir/<exp_name>/<version>/checkpoints/``.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, instantiate
+from ..core.seed import set_seed
+from . import optim
+from .checkpoint import save_checkpoint
+from .experiment import Experiment, TrainState
+from .tb_logging import TensorBoardLogger
+
+
+def _device_batch(batch: Dict) -> Dict:
+    out = {"data": jnp.asarray(batch["data"])}
+    if "seg" in batch:
+        out["seg"] = jnp.asarray(batch["seg"])
+    return out
+
+
+def fit(cfg: Config, max_steps_override: Optional[int] = None) -> str:
+    """Train per the config; returns the final checkpoint path."""
+    set_seed(int(cfg.get("seed", 123)))
+
+    if "DATASET_LOCATION" in os.environ:
+        cfg["data_input_dir"] = os.environ["DATASET_LOCATION"]
+    if "EXPERIMENT_LOCATION" in os.environ:
+        cfg["save_dir"] = os.environ["EXPERIMENT_LOCATION"]
+    if "LSB_JOBID" in os.environ and not cfg.get("version"):
+        cfg["version"] = os.environ["LSB_JOBID"]
+
+    logger_cfg = cfg.get("logger")
+    if logger_cfg:
+        logger = instantiate(dict(logger_cfg, version=cfg.get("version")))
+    else:
+        logger = TensorBoardLogger(cfg.get("save_dir", "."),
+                                   cfg.get("exp_name", "default"),
+                                   version=cfg.get("version"))
+    if not cfg.get("version"):
+        cfg["version"] = logger.version
+
+    datamodule = instantiate(
+        cfg.datamodule,
+        data_input_dir=cfg.get("data_input_dir"),
+        batch_size=cfg.get("batch_size", cfg.datamodule.get("batch_size", 8)))
+    datamodule.prepare_data()
+    datamodule.setup()
+
+    experiment = Experiment(cfg)
+    rng = jax.random.PRNGKey(int(cfg.get("seed", 123)))
+    rng, init_rng = jax.random.split(rng)
+    patch_size = int(cfg.select("datamodule.patch_size", 64))
+    in_channels = int(cfg.select("model.in_channels", 1))
+    state = experiment.init_state(init_rng, patch_size, in_channels)
+
+    max_epochs = int(cfg.get("max_epochs", 1))
+    train_loader = datamodule.train_dataloader()
+    val_loader = datamodule.val_dataloader()
+    steps_per_epoch = len(train_loader)
+    max_steps = (max_steps_override
+                 or steps_per_epoch * max_epochs)
+
+    schedule = experiment.lr_schedule
+    if schedule.kind == "polynomial" and schedule.total_iters <= 0:
+        schedule = schedule._replace(total_iters=max_steps)
+    plateau_best = np.inf
+    plateau_bad_epochs = 0
+    lr_scale = 1.0
+
+    logger.log_hparams(cfg.to_container())
+    ckpt_dir = os.path.join(logger.log_dir, "checkpoints")
+    gradient_clip = cfg.get("gradient_clip_val")  # logged-only for now
+
+    global_step = 0
+    t_start = time.time()
+    for epoch in range(max_epochs):
+        experiment.current_epoch = epoch
+        pretrain = experiment.is_ssn and epoch < experiment.pretrain_epochs
+        epoch_losses = []
+        for batch in train_loader:
+            if schedule.kind == "polynomial":
+                state = state._replace(opt_state=optim.set_learning_rate(
+                    state.opt_state, schedule.value(global_step)))
+            rng, step_rng = jax.random.split(rng)
+            state, loss = experiment.train_step(
+                state, _device_batch(batch), step_rng, pretrain)
+            epoch_losses.append(loss)
+            global_step += 1
+            if max_steps_override and global_step >= max_steps_override:
+                break
+        train_loss = float(jnp.mean(jnp.stack(epoch_losses)))
+        logger.log_scalars(
+            {"training/train_loss": train_loss,
+             "lr": optim.get_learning_rate(state.opt_state)}, global_step)
+
+        # validation
+        val_metrics: Dict[str, list] = {}
+        for batch in val_loader:
+            rng, val_rng = jax.random.split(rng)
+            out = experiment.val_step(state.params, _device_batch(batch),
+                                      val_rng)
+            for k, v in out.items():
+                val_metrics.setdefault(k, []).append(float(v))
+        val_means = {f"validation/{k}": float(np.mean(v))
+                     for k, v in val_metrics.items()}
+        logger.log_scalars(val_means, global_step)
+        val_loss = val_means.get("validation/val_loss", train_loss)
+        print(f"epoch {epoch}: train_loss={train_loss:.4f} "
+              + " ".join(f"{k.split('/')[-1]}={v:.4f}"
+                         for k, v in val_means.items())
+              + f" [{time.time() - t_start:.1f}s]")
+
+        # plateau LR scheduling (torch defaults: factor 0.1, patience 10)
+        if schedule.kind == "plateau":
+            if val_loss < plateau_best:
+                plateau_best = val_loss
+                plateau_bad_epochs = 0
+            else:
+                plateau_bad_epochs += 1
+                if plateau_bad_epochs > schedule.patience:
+                    lr_scale *= schedule.factor
+                    plateau_bad_epochs = 0
+            state = state._replace(opt_state=optim.set_learning_rate(
+                state.opt_state, schedule.base_lr * lr_scale))
+
+        save_checkpoint(
+            os.path.join(ckpt_dir, "last.ckpt"),
+            {"params": state.params}, cfg.to_container(),
+            epoch=epoch, global_step=global_step)
+        if max_steps_override and global_step >= max_steps_override:
+            break
+
+    logger.finalize()
+    return os.path.join(ckpt_dir, "last.ckpt")
