@@ -95,6 +95,31 @@ def test_fit_softmax_and_checkpoint(toy_dataset, tmp_path):
     np.testing.assert_allclose(softmax_sums[0].sum(0), 1.0, atol=1e-5)
 
 
+def test_inference_cli_from_checkpoint(toy_dataset, tmp_path):
+    """Full reference workflow: train -> test_3D-style CLI -> output tree."""
+    from values_tpu.inference import test_3d
+
+    cfg = _tiny_cfg(toy_dataset, tmp_path)
+    ckpt_path = fit(cfg)
+    args = test_3d.test_cli([
+        "--checkpoint_paths", ckpt_path, ckpt_path,   # 2-member ensemble
+        "--test_split", "test",
+        "--save_dir", str(tmp_path / "results"),
+    ])
+    carrier = test_3d.run_test(args)
+    base = (tmp_path / "results" / "Softmax-Case-1" / "test_results"
+            / "0" / "test")
+    assert (base / "metrics.json").exists()
+    assert (base / "pred_entropy").is_dir()  # ensemble => uncertainty
+    assert (base / "pred_seg" / "0000_mean.nii.gz").exists()
+    import json
+    metrics = json.loads((base / "metrics.json").read_text())
+    assert "ged" in metrics["mean"]
+    assert 0.0 <= metrics["mean"]["dice"] <= 1.0
+    # every test image covered
+    assert len(carrier.data) == 2
+
+
 @pytest.mark.slow
 def test_fit_ssn(toy_dataset, tmp_path):
     cfg = _tiny_cfg(toy_dataset, tmp_path, config_name="ssn_config",

@@ -32,10 +32,12 @@ def _resolve_label_paths(label_dir: str, label_filenames: List[str],
 
 def get_train_data_samples(base_dir: str, pattern: str = "*.npy",
                            subject_ids: Optional[List[str]] = None,
-                           num_raters: int = 1,
-                           label_suffix: str = "") -> List[Dict]:
-    image_dir = os.path.join(base_dir, "imagesTr")
-    label_dir = os.path.join(base_dir, "labelsTr")
+                           num_raters: int = 1, label_suffix: str = "",
+                           flat_dirs: bool = False) -> List[Dict]:
+    """``flat_dirs`` selects the LIDC/GTA layout ``images/``+``labels/``
+    (lidc_idri_datamodule_3D.py:632-633) instead of imagesTr/labelsTr."""
+    image_dir = os.path.join(base_dir, "images" if flat_dirs else "imagesTr")
+    label_dir = os.path.join(base_dir, "labels" if flat_dirs else "labelsTr")
     image_filenames = sorted(os.listdir(image_dir))
     label_filenames = (sorted(os.listdir(label_dir))
                        if os.path.isdir(label_dir) else [])
@@ -57,11 +59,14 @@ def get_val_test_data_samples(base_dir: str, pattern: str = "*.npy",
                               num_raters: int = 1, test: bool = False,
                               patch_size: int = 64,
                               patch_overlap: float = 1.0,
-                              label_suffix: str = "") -> List[Dict]:
+                              label_suffix: str = "",
+                              flat_dirs: bool = False) -> List[Dict]:
     """One sample per sliding window (toy_datamodule_3D.py:581-665)."""
     train_test = "Ts" if test else "Tr"
-    image_dir = os.path.join(base_dir, f"images{train_test}")
-    label_dir = os.path.join(base_dir, f"labels{train_test}")
+    image_dir = os.path.join(
+        base_dir, "images" if flat_dirs else f"images{train_test}")
+    label_dir = os.path.join(
+        base_dir, "labels" if flat_dirs else f"labels{train_test}")
     image_filenames = sorted(os.listdir(image_dir))
     label_filenames = (sorted(os.listdir(label_dir))
                        if os.path.isdir(label_dir) else [])

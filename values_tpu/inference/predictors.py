@@ -131,6 +131,26 @@ def make_aleatoric_predictor(model, n_models: int,
     return predict
 
 
+def make_ssn_predictor(model, n_pred: int) -> Callable:
+    """(stacked_variables, x, rng) -> (n_pred, B, *sp, C).
+
+    One low-rank MVN per window batch, ``n_pred`` draws reshaped to class
+    maps (reference: test_3D.py:361-396). Single-model only, matching the
+    reference's SSN path.
+    """
+    def predict(stacked_variables, x, rng):
+        variables = jax.tree_util.tree_map(lambda v: v[0], stacked_variables)
+        dist = model.apply(variables, x, deterministic=True)
+        samples = dist.sample(rng, (n_pred,))  # (S, B, C*V)
+        b = x.shape[0]
+        spatial = x.shape[1:-1]
+        logits = samples.reshape((n_pred, b, model.num_classes) + spatial)
+        logits = jnp.moveaxis(logits, 2, -1)
+        return jax.nn.softmax(logits, axis=-1), None
+
+    return predict
+
+
 def make_predictor(model, mode: str, n_models: int, n_pred: int = 1,
                    n_aleatoric_samples: int = 10,
                    stochastic: Optional[bool] = None) -> Callable:
@@ -142,6 +162,10 @@ def make_predictor(model, mode: str, n_models: int, n_pred: int = 1,
         return make_tta_predictor(model, n_models)
     if mode == "aleatoric":
         return make_aleatoric_predictor(model, n_models, n_aleatoric_samples)
+    if mode == "ssn":
+        if n_models != 1:
+            raise ValueError("SSN inference supports a single model")
+        return make_ssn_predictor(model, n_pred)
     if mode == "default":
         return make_default_predictor(model, n_models, n_pred, stochastic)
     raise ValueError(f"Unknown C1 prediction mode: {mode}")
