@@ -1,0 +1,143 @@
+"""Headline benchmark: LIDC-style ensemble-5 entropy inference,
+volumes/sec/chip (BASELINE.json north star).
+
+Workload per volume (the complete per-volume pipeline of the reference,
+fused on device):
+
+- 5-member UNet3D(2 classes, 8 filters) deep-ensemble forward on a 64^3
+  volume (the shipped LIDC geometry: one sliding window per volume),
+- C2: mean softmax + PE / EE / MI reduced over the sample axis,
+- segmentation argmax + micro Dice (ignore_index=0) against an uploaded GT,
+- C3: patch-level box-filter max (window 10), image-level sum and
+  threshold-mean aggregation for each of the three uncertainty maps.
+
+Only per-volume scalars (Dice + 9 aggregation scores) leave the chip; the
+per-voxel maps stay on device end to end. This is the TPU-native redesign
+of the reference's hot loops #2 and #3 (test_3D.py:399-534 — 5 sequential
+f64 forwards per volume with per-window H2D/D2H and CPU scatter-adds;
+aggregate_uncertainties.py:13-96 — scipy box filters over full volumes).
+
+``vs_baseline`` divides by an *estimated* reference throughput on A100
+(the reference publishes no numbers — SURVEY.md §6): ensemble-5 float64
+inference (model.double(), test_3D.py:425) at ~25 GFLOP/volume on A100's
+9.7 TFLOP/s FP64 with a generous 50% conv efficiency, plus ~5 ms/volume of
+transfer + host numpy accumulation + scipy aggregation => ~90 volumes/s.
+This deliberately over-credits the reference; replace with a measured A100
+number when that hardware is available.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_A100_VOLUMES_PER_SEC = 90.0
+
+N_MEMBERS = 5
+PATCH = 64
+BATCH = 8          # volumes per device batch
+N_VOLUMES = 512    # benchmark total
+WARMUP_BATCHES = 3
+AGG_PATCH = 10     # reference patch_level_aggregation window
+THRESHOLD = 0.3
+
+
+def build_workload():
+    import jax
+    import jax.numpy as jnp
+    from values_tpu.inference.predictors import (make_default_predictor,
+                                                 stack_params)
+    from values_tpu.models.unet3d import UNet3D
+    from values_tpu.ops.metrics import dice_stats, dice_from_stats
+    from values_tpu.ops.uncertainty import fused_sample_statistics
+
+    model = UNet3D(num_classes=2, initial_filter_size=8)
+    init = jax.jit(model.init)
+    keys = jax.random.split(jax.random.PRNGKey(0), N_MEMBERS)
+    stacked = stack_params(
+        [init(k, jnp.zeros((1, PATCH, PATCH, PATCH, 1))) for k in keys])
+    predictor = make_default_predictor(model, N_MEMBERS, n_pred=1,
+                                       stochastic=False)
+
+    def aggregate(unc):  # (B, D, H, W) -> dict of (B,) scalars
+        window = (1,) + (AGG_PATCH,) * 3
+        box = jax.lax.reduce_window(
+            unc, 0.0, jax.lax.add, window_dimensions=window,
+            window_strides=(1, 1, 1, 1), padding="VALID")
+        patch_max = jnp.max(box.reshape(box.shape[0], -1), axis=-1)
+        image_sum = jnp.sum(unc, axis=(1, 2, 3))
+        mask = unc >= THRESHOLD
+        thr_sum = jnp.sum(jnp.where(mask, unc, 0.0), axis=(1, 2, 3))
+        thr_cnt = jnp.sum(mask, axis=(1, 2, 3))
+        thr_mean = jnp.where(thr_cnt > 0, thr_sum / jnp.maximum(thr_cnt, 1),
+                             thr_sum)
+        return {"patch_level": patch_max, "image_level": image_sum,
+                "threshold": thr_mean}
+
+    @jax.jit
+    def step(stacked_variables, volumes, gt, rng):
+        softmax_stack, _ = predictor(stacked_variables, volumes, rng)
+        stats = fused_sample_statistics(softmax_stack, class_axis=-1)
+        seg = jnp.argmax(stats["mean_softmax"], axis=-1).astype(jnp.int32)
+
+        def per_volume_dice(s, g):
+            return dice_from_stats(*dice_stats(s, g, ignore_index=0))
+        dice = jax.vmap(per_volume_dice)(seg, gt)
+
+        out = {"dice": dice}
+        for name, unc in (("pred_entropy", stats["pred_entropy"]),
+                          ("aleatoric", stats["expected_entropy"]),
+                          ("epistemic", stats["mutual_information"])):
+            for agg, score in aggregate(unc).items():
+                out[f"{name}/{agg}"] = score
+        return out
+
+    return step, stacked
+
+
+def main() -> None:
+    import os
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__) or ".",
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    step, stacked = build_workload()
+    rng = jax.random.PRNGKey(7)
+    rs = np.random.RandomState(0)
+    host_volumes = rs.rand(BATCH, PATCH, PATCH, PATCH, 1).astype(np.float32)
+    host_gt = (rs.rand(BATCH, PATCH, PATCH, PATCH) > 0.7).astype(np.int32)
+
+    for _ in range(WARMUP_BATCHES):
+        out = step(stacked, jnp.asarray(host_volumes),
+                   jnp.asarray(host_gt), rng)
+        jax.tree_util.tree_map(np.asarray, out)
+    jax.block_until_ready(out)
+
+    n_batches = N_VOLUMES // BATCH
+    t0 = time.perf_counter()
+    for _ in range(n_batches):
+        # fresh H2D each batch: volumes + GT, as a streaming pipeline would
+        out = step(stacked, jnp.asarray(host_volumes),
+                   jnp.asarray(host_gt), rng)
+        scalars = jax.tree_util.tree_map(np.asarray, out)  # D2H: scalars
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+
+    volumes_per_sec = N_VOLUMES / elapsed
+    print(json.dumps({
+        "metric": "lidc_ensemble5_entropy_inference_throughput",
+        "value": round(volumes_per_sec, 2),
+        "unit": "volumes/sec/chip",
+        "vs_baseline": round(
+            volumes_per_sec / REFERENCE_A100_VOLUMES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

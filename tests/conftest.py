@@ -9,13 +9,16 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
-# The shell presets JAX_PLATFORMS=axon (TPU tunnel); tests always run on the
-# virtual CPU mesh unless explicitly overridden.
-os.environ["JAX_PLATFORMS"] = os.environ.get("VALUES_TEST_PLATFORM", "cpu")
-
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# The axon sitecustomize imports jax at interpreter startup with
+# JAX_PLATFORMS=axon baked into jax.config, so the env var is already
+# consumed — jax.config.update is the only reliable way to force the
+# virtual-CPU test platform.
+jax.config.update("jax_platforms",
+                  os.environ.get("VALUES_TEST_PLATFORM", "cpu"))
 
 # Compilation in this environment goes through a remote compile service
 # (~seconds of wall per jit); the persistent cache makes reruns cheap.

@@ -72,13 +72,21 @@ def one_minus_msr(softmax_pred: jnp.ndarray,
     return {"pred_entropy": 1.0 - jnp.max(softmax_pred, axis=class_axis)}
 
 
-def fused_sample_statistics(softmax_preds: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-    """One pass over the sample axis producing everything the inference
-    engine needs: mean softmax, PE, EE, MI. Keeps per-voxel statistics on
-    device; the sample axis never round-trips to host (SURVEY.md §2.7)."""
+def fused_sample_statistics(softmax_preds: jnp.ndarray,
+                            class_axis: int = 1) -> Dict[str, jnp.ndarray]:
+    """One pass over the leading sample axis producing everything the
+    inference engine needs: mean softmax, PE, EE, MI. Keeps per-voxel
+    statistics on device; the sample axis never round-trips to host
+    (SURVEY.md §2.7).
+
+    ``class_axis`` indexes classes within ``softmax_preds`` (1 for the
+    reference's (S, C, ...) layout, -1 for the channels-last stacks the
+    C1 predictors emit).
+    """
     mean_softmax = jnp.mean(softmax_preds, axis=0)
-    pe = entropy(mean_softmax, class_axis=0)
-    ee = jnp.mean(entropy(softmax_preds, class_axis=1), axis=0)
+    mean_class_axis = class_axis - 1 if class_axis > 0 else class_axis
+    pe = entropy(mean_softmax, class_axis=mean_class_axis)
+    ee = jnp.mean(entropy(softmax_preds, class_axis=class_axis), axis=0)
     return {
         "mean_softmax": mean_softmax,
         "pred_entropy": pe,

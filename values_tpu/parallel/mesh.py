@@ -1,0 +1,93 @@
+"""Device-mesh parallelism: the framework's first-class scaling layer.
+
+The reference has no distributed framework (SURVEY.md §2.7) — its latent
+data-parallelism was never configured and its N stochastic passes run as
+Python loops. Here parallelism is structural:
+
+- mesh axes ``(data, sample)``: ``data`` shards the training batch /
+  inference window batch (DP), ``sample`` shards ensemble members, MC
+  passes and TTA variants (the embarrassingly-parallel C1 axis). Tensor/
+  pipeline/expert parallelism are deliberately absent: at 1-65M params
+  they would only add collective latency (SURVEY.md §2.7).
+- gradient reduction, metric reductions and volume assembly compile to XLA
+  collectives (psum / all_gather) over ICI — no hand-written NCCL analog.
+- spatial ("space") sharding for volumes beyond one chip's HBM is the CP
+  analog: windows are scattered along ``data`` and stitched with a final
+  all_gather at the assembly boundary.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+SAMPLE_AXIS = "sample"
+
+
+def make_mesh(n_data: Optional[int] = None, n_sample: int = 1,
+              devices=None) -> Mesh:
+    """Build a (data, sample) mesh over the available devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n_total = devices.size
+    if n_data is None:
+        n_data = n_total // n_sample
+    if n_data * n_sample != n_total:
+        raise ValueError(
+            f"mesh {n_data}x{n_sample} != {n_total} devices")
+    return Mesh(devices.reshape(n_data, n_sample), (DATA_AXIS, SAMPLE_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def sample_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (sample/member) axis over the sample axis."""
+    return NamedSharding(mesh, P(SAMPLE_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Place a host batch dict with its arrays sharded along ``data``."""
+    sharding = batch_sharding(mesh)
+    return {k: jax.device_put(jnp.asarray(v), sharding)
+            for k, v in batch.items()
+            if isinstance(v, (np.ndarray, jnp.ndarray))}
+
+
+def make_parallel_train_step(experiment, mesh: Mesh):
+    """jit the experiment's update over the mesh: batch sharded along
+    ``data``, params/opt-state replicated. XLA inserts the gradient psum
+    across data shards automatically (SPMD)."""
+    rep = replicated(mesh)
+    data_shard = batch_sharding(mesh)
+
+    def step(state, batch, rng):
+        return experiment.train_step_fn(state, batch, rng, False)
+
+    return jax.jit(
+        step,
+        in_shardings=(rep, {"data": data_shard, "seg": data_shard}, rep),
+        out_shardings=(rep, rep))
+
+
+def make_parallel_sample_predict(predict_fn, mesh: Mesh):
+    """jit a C1 predictor with its stacked params/outputs sharded along the
+    ``sample`` axis — ensemble members live on different chips and only the
+    fused statistics cross ICI."""
+    rep = replicated(mesh)
+    samp = sample_sharding(mesh)
+
+    return jax.jit(
+        predict_fn,
+        in_shardings=(samp, rep, rep),
+        out_shardings=(samp, None))

@@ -129,10 +129,11 @@ class Experiment:
         return L.dice_ce_loss(_to_channel_first(logits), target,
                               ignore_index=self.ignore_index)
 
-    @functools.partial(jax.jit, static_argnums=(0, 4),
-                       donate_argnums=(1,))
-    def train_step(self, state: TrainState, batch: Dict, rng: jax.Array,
-                   pretrain: bool = False) -> Tuple[TrainState, jnp.ndarray]:
+    def train_step_fn(self, state: TrainState, batch: Dict, rng: jax.Array,
+                      pretrain: bool = False
+                      ) -> Tuple[TrainState, jnp.ndarray]:
+        """Pure (un-jitted) update; jit via ``train_step`` or a mesh-
+        sharded wrapper (values_tpu.parallel.mesh)."""
         loss, grads = jax.value_and_grad(self._loss)(
             state.params, batch, rng, pretrain)
         updates, opt_state = self.optimizer.update(
@@ -140,6 +141,12 @@ class Experiment:
         params = jax.tree_util.tree_map(
             lambda p, u: p + u, state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
+
+    @functools.partial(jax.jit, static_argnums=(0, 4),
+                       donate_argnums=(1,))
+    def train_step(self, state: TrainState, batch: Dict, rng: jax.Array,
+                   pretrain: bool = False) -> Tuple[TrainState, jnp.ndarray]:
+        return self.train_step_fn(state, batch, rng, pretrain)
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def val_step(self, params, batch: Dict,
