@@ -85,13 +85,13 @@ def build_workload():
             return dice_from_stats(*dice_stats(s, g, ignore_index=0))
         dice = jax.vmap(per_volume_dice)(seg, gt)
 
-        out = {"dice": dice}
-        for name, unc in (("pred_entropy", stats["pred_entropy"]),
-                          ("aleatoric", stats["expected_entropy"]),
-                          ("epistemic", stats["mutual_information"])):
-            for agg, score in aggregate(unc).items():
-                out[f"{name}/{agg}"] = score
-        return out
+        rows = [dice]
+        for unc in (stats["pred_entropy"], stats["expected_entropy"],
+                    stats["mutual_information"]):
+            agg = aggregate(unc)
+            rows.extend([agg["patch_level"], agg["image_level"],
+                         agg["threshold"]])
+        return jnp.stack(rows)  # (10, B) scalars per batch
 
     return step, stacked
 
@@ -116,18 +116,21 @@ def main() -> None:
     for _ in range(WARMUP_BATCHES):
         out = step(stacked, jnp.asarray(host_volumes),
                    jnp.asarray(host_gt), rng)
-        jax.tree_util.tree_map(np.asarray, out)
+        np.asarray(out)
     jax.block_until_ready(out)
 
     n_batches = N_VOLUMES // BATCH
+    results = []
     t0 = time.perf_counter()
     for _ in range(n_batches):
-        # fresh H2D each batch: volumes + GT, as a streaming pipeline would
-        out = step(stacked, jnp.asarray(host_volumes),
-                   jnp.asarray(host_gt), rng)
-        scalars = jax.tree_util.tree_map(np.asarray, out)  # D2H: scalars
-    jax.block_until_ready(out)
+        # fresh H2D each batch (streaming input); per-batch scalar results
+        # accumulate on device and leave the chip in one final transfer
+        results.append(step(stacked, jnp.asarray(host_volumes),
+                            jnp.asarray(host_gt), rng))
+    all_scores = np.asarray(jnp.concatenate(results, axis=-1))  # (10, N)
     elapsed = time.perf_counter() - t0
+    assert all_scores.shape == (10, N_VOLUMES)
+    assert np.all(np.isfinite(all_scores))
 
     volumes_per_sec = N_VOLUMES / elapsed
     print(json.dumps({

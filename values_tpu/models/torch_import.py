@@ -102,6 +102,74 @@ def unet3d_params_from_torch(state_dict: Mapping[str, Any],
     return {"params": params}
 
 
+def hrnet_params_from_torch(state_dict: Mapping[str, Any],
+                            dtype: Any = np.float32) -> Dict[str, Any]:
+    """Convert an HRNet torch state_dict (reference hrnet_module.py, or
+    the public ImageNet-pretrained weights after the reference's key remap
+    at hrnet_module.py:682-737) into flax variables.
+
+    Module names in values_tpu.models.hrnet mirror the torch prefixes with
+    '.' -> '_', so conversion is mechanical:
+    Conv weight (O, I, kh, kw) -> kernel (kh, kw, I, O); BatchNorm
+    weight/bias/running_mean/running_var -> scale/bias + batch_stats.
+    """
+    state_dict = strip_model_prefix(state_dict)
+    # classify prefixes: BN prefixes carry running stats
+    bn_prefixes = {k[:-len(".running_mean")] for k in state_dict
+                   if k.endswith(".running_mean")}
+    params: Dict[str, Any] = {}
+    batch_stats: Dict[str, Any] = {}
+    for key, tensor in state_dict.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        prefix, leaf = key.rsplit(".", 1)
+        name = prefix.replace(".", "_")
+        arr = _to_numpy(tensor).astype(dtype)
+        if prefix in bn_prefixes:
+            if leaf == "weight":
+                params.setdefault(name, {})["scale"] = arr
+            elif leaf == "bias":
+                params.setdefault(name, {})["bias"] = arr
+            elif leaf == "running_mean":
+                batch_stats.setdefault(name, {})["mean"] = arr
+            elif leaf == "running_var":
+                batch_stats.setdefault(name, {})["var"] = arr
+        else:
+            if leaf == "weight":
+                if arr.ndim != 4:
+                    raise ValueError(f"Unexpected weight rank for {key}")
+                params.setdefault(name, {})["kernel"] = np.transpose(
+                    arr, (2, 3, 1, 0))
+            elif leaf == "bias":
+                params.setdefault(name, {})["bias"] = arr
+            else:
+                raise KeyError(f"Unrecognized HRNet state_dict key: {key}")
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def merge_pretrained_hrnet(variables: Dict[str, Any],
+                           pretrained: Dict[str, Any]) -> Dict[str, Any]:
+    """Merge converted pretrained weights into freshly initialized
+    variables with the reference's filtering semantics
+    (hrnet_module.py:703-737): keep only keys that exist in the model with
+    matching shapes; everything else stays initialized."""
+    import jax
+
+    merged = jax.tree_util.tree_map(lambda x: x, variables)  # copy
+    for collection in ("params", "batch_stats"):
+        tgt = merged.get(collection, {})
+        src = pretrained.get(collection, {})
+        for module, leaves in src.items():
+            if module not in tgt:
+                continue
+            for leaf, value in leaves.items():
+                if leaf in tgt[module] and (
+                        tuple(tgt[module][leaf].shape)
+                        == tuple(value.shape)):
+                    tgt[module][leaf] = value
+    return merged
+
+
 def load_reference_checkpoint(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Read a reference ``.ckpt``; returns (hyper_parameters, variables)."""
     import torch
