@@ -120,7 +120,8 @@ class ExperimentDataloader:
         return out
 
     def setup_dataloader(self):
-        dm = instantiate(make_config(dict(self.exp_version.datamodule_config)),
+        dm = instantiate(make_config(dict(self.exp_version.datamodule_config,
+                                          _recursive_=False)),
                          test_split=self.dataset_split)
         dm.setup("test")
         return dm.test_dataloader()

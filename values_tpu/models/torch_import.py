@@ -171,9 +171,19 @@ def merge_pretrained_hrnet(variables: Dict[str, Any],
 
 
 def load_reference_checkpoint(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
-    """Read a reference ``.ckpt``; returns (hyper_parameters, variables)."""
+    """Read a reference ``.ckpt``; returns (hyper_parameters, variables).
+    The importer is picked from the checkpoint's model target (UNet3D
+    family vs HRNet)."""
     import torch
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     hparams = ckpt["hyper_parameters"]
-    variables = unet3d_params_from_torch(ckpt["state_dict"])
+    target = ""
+    try:
+        target = str(hparams["model"].get("_target_", ""))
+    except (KeyError, AttributeError, TypeError):
+        pass
+    if "hrnet" in target.lower():
+        variables = hrnet_params_from_torch(ckpt["state_dict"])
+    else:
+        variables = unet3d_params_from_torch(ckpt["state_dict"])
     return hparams, variables
