@@ -1,0 +1,53 @@
+"""Grouped-ensemble UNet3D must match the vmapped per-member reference."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from values_tpu.models.unet3d import UNet3D
+from values_tpu.models.ensemble_unet3d import (
+    EnsembleUNet3D, group_member_variables, make_grouped_ensemble_predictor)
+from values_tpu.inference.predictors import (make_default_predictor,
+                                             stack_params)
+
+P = 16
+M = 2
+
+
+@pytest.fixture(scope="module")
+def members():
+    model = UNet3D(num_classes=2, initial_filter_size=2)
+    init = jax.jit(model.init)
+    keys = jax.random.split(jax.random.PRNGKey(0), M)
+    return model, [init(k, jnp.zeros((1, P, P, P, 1))) for k in keys]
+
+
+def test_grouped_matches_vmapped(rng, members):
+    model, member_vars = members
+    x = jnp.asarray(rng.rand(2, P, P, P, 1).astype(np.float32))
+    rngk = jax.random.PRNGKey(1)
+
+    vmapped = make_default_predictor(model, M, 1, False)
+    ref_stack, _ = jax.jit(vmapped)(stack_params(member_vars), x, rngk)
+
+    grouped_vars = group_member_variables(member_vars)
+    gmodel, gpred = make_grouped_ensemble_predictor(
+        num_classes=2, members=M, initial_filter_size=2)
+    got_stack, _ = jax.jit(gpred)(grouped_vars, x, rngk)
+
+    assert got_stack.shape == ref_stack.shape
+    np.testing.assert_allclose(np.asarray(got_stack), np.asarray(ref_stack),
+                               atol=3e-3)
+    # mean absolute deviation should be tiny (just f32 reassociation)
+    mad = np.abs(np.asarray(got_stack) - np.asarray(ref_stack)).mean()
+    assert mad < 2e-4
+
+
+def test_grouped_param_shapes(members):
+    _, member_vars = members
+    grouped = group_member_variables(member_vars)
+    k = grouped["params"]["contr_1_1"]["kernel"]
+    assert k.shape == (3, 3, 3, 1, M * 2)
+    up = grouped["params"]["upscale4"]["kernel"]
+    assert up.shape == (M, 2, 2, 2, 16, 8)

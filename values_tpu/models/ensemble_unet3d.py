@@ -1,0 +1,207 @@
+"""Ensemble-grouped 3D U-Net: M members fused into grouped convolutions.
+
+Motivation (TPU performance): the reference UNet3D has 8-128 channels per
+conv — vmapping M ensemble members runs M narrow convolutions whose output
+-channel dimension badly underutilizes the 128-lane MXU. Folding the
+member axis into ``feature_group_count=M`` grouped convolutions multiplies
+the channel dimension by M (e.g. 8 -> 40 for the LIDC ensemble-5) while
+computing exactly the same per-member math:
+
+- grouped Conv3d: kernel (k,k,k, Cin, M*Cout), feature_group_count=M,
+- instance norm: per-channel over spatial dims — member-independent by
+  construction,
+- skip concats reshape to (..., M, C) so member channel groups stay
+  contiguous,
+- k2s2 transpose conv as member-batched einsum + pixel shuffle.
+
+``group_member_variables`` converts a list of M standard UNet3D variable
+trees into one grouped tree; outputs match the vmapped reference path to
+float tolerance (see tests/test_ensemble_unet3d.py).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .unet3d import UNet3D
+
+
+class GroupedConvTransposeK2S2(nn.Module):
+    """Per-member ConvTranspose(k=2, s=2) via member-batched einsum."""
+    features: int  # per member
+    members: int
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, d, h, w, mc = x.shape
+        cin = mc // self.members
+        kernel = self.param("kernel", nn.initializers.zeros,
+                            (self.members, 2, 2, 2, cin, self.features),
+                            self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.members, self.features), self.param_dtype)
+        xm = x.reshape(b, d, h, w, self.members, cin).astype(self.dtype)
+        # spatial kernel axes (a, e, f) interleave with (d, h, w); member m
+        # and output channel o stay last so the flatten below yields
+        # member-major channel blocks
+        y = jnp.einsum("bdhwmi,maefio->bdahewfmo", xm,
+                       kernel.astype(self.dtype))
+        y = y.reshape(b, 2 * d, 2 * h, 2 * w,
+                      self.members * self.features)
+        return y + bias.astype(self.dtype).reshape(-1)
+
+
+class EnsembleUNet3D(nn.Module):
+    """M-member grouped UNet3D; input (B, D, H, W, 1) is tiled across
+    members internally; output (B, D, H, W, M, num_classes)."""
+    num_classes: int
+    members: int
+    in_channels: int = 1
+    initial_filter_size: int = 8
+    kernel_size: int = 3
+    do_instancenorm: bool = True
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    def _conv(self, x, name, features_per_member, kernel):
+        return nn.Conv(self.members * features_per_member,
+                       (kernel,) * 3, padding="SAME",
+                       feature_group_count=self.members, name=name,
+                       dtype=self.dtype, param_dtype=self.param_dtype)(x)
+
+    def _instance_norm(self, x):
+        mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+        var = jnp.var(x, axis=(1, 2, 3), keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + 1e-5)
+
+    def _block(self, x, name, features, norm=True, relu="leaky"):
+        x = self._conv(x, name, features, self.kernel_size)
+        if norm and self.do_instancenorm:
+            x = self._instance_norm(x)
+        return (nn.leaky_relu(x, negative_slope=0.01) if relu == "leaky"
+                else nn.relu(x))
+
+    def _concat_members(self, a, b):
+        """Channel concat keeping member groups contiguous."""
+        sh = a.shape[:-1]
+        am = a.reshape(*sh, self.members, a.shape[-1] // self.members)
+        bm = b.reshape(*sh, self.members, b.shape[-1] // self.members)
+        out = jnp.concatenate([am, bm], axis=-1)
+        return out.reshape(*sh, out.shape[-2] * out.shape[-1])
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        f = self.initial_filter_size
+        if x.shape[-1] == self.in_channels:
+            x = jnp.tile(x, (1,) * (x.ndim - 1) + (self.members,))
+        pool = lambda v: nn.max_pool(v, (2, 2, 2), strides=(2, 2, 2))
+
+        contr_1 = self._block(self._block(x, "contr_1_1", f),
+                              "contr_1_2", f)
+        p1 = pool(contr_1)
+        contr_2 = self._block(self._block(p1, "contr_2_1", f * 2),
+                              "contr_2_2", f * 2)
+        p2 = pool(contr_2)
+        contr_3 = self._block(self._block(p2, "contr_3_1", f * 4),
+                              "contr_3_2", f * 4)
+        p3 = pool(contr_3)
+        contr_4 = self._block(self._block(p3, "contr_4_1", f * 8),
+                              "contr_4_2", f * 8)
+        p4 = pool(contr_4)
+
+        c = self._block(p4, "center_conv1", f * 16, norm=False, relu="relu")
+        c = self._block(c, "center_conv2", f * 16, norm=False, relu="relu")
+        c = GroupedConvTransposeK2S2(f * 8, self.members, name="center_up",
+                                     dtype=self.dtype,
+                                     param_dtype=self.param_dtype)(c)
+        center = nn.relu(c)
+
+        e = self._concat_members(center, contr_4)
+        e = self._block(self._block(e, "expand_4_1", f * 8, norm=False),
+                        "expand_4_2", f * 8, norm=False)
+        up = GroupedConvTransposeK2S2(f * 4, self.members, name="upscale4",
+                                      dtype=self.dtype,
+                                      param_dtype=self.param_dtype)(e)
+        e = self._concat_members(up, contr_3)
+        e = self._block(self._block(e, "expand_3_1", f * 4, norm=False),
+                        "expand_3_2", f * 4, norm=False)
+        up = GroupedConvTransposeK2S2(f * 2, self.members, name="upscale3",
+                                      dtype=self.dtype,
+                                      param_dtype=self.param_dtype)(e)
+        e = self._concat_members(up, contr_2)
+        e = self._block(self._block(e, "expand_2_1", f * 2, norm=False),
+                        "expand_2_2", f * 2, norm=False)
+        up = GroupedConvTransposeK2S2(f, self.members, name="upscale2",
+                                      dtype=self.dtype,
+                                      param_dtype=self.param_dtype)(e)
+        e = self._concat_members(up, contr_1)
+        expand = self._block(self._block(e, "expand_1_1", f, norm=False),
+                             "expand_1_2", f, norm=False)
+
+        out = self._conv(expand, "final", self.num_classes, 1)
+        b, d, h, w, _ = out.shape
+        return out.reshape(b, d, h, w, self.members, self.num_classes)
+
+
+def group_member_variables(member_variables: List[Dict],
+                           dtype=np.float32) -> Dict:
+    """Convert M standard UNet3D variable trees into the grouped tree.
+
+    Grouped conv kernels stack members along the OUTPUT channel axis
+    (XLA grouped-conv convention: kernel (k,k,k, Cin, M*Cout) where group
+    m consumes input block m and produces output block m).
+    """
+    members = len(member_variables)
+    params: Dict[str, Any] = {}
+    member_params = [v["params"] if "params" in v else v
+                     for v in member_variables]
+
+    conv_blocks = [k for k in member_params[0]
+                   if k.startswith(("contr_", "expand_"))]
+    for block in conv_blocks:
+        kernels = [np.asarray(p[block]["conv"]["kernel"])
+                   for p in member_params]
+        biases = [np.asarray(p[block]["conv"]["bias"])
+                  for p in member_params]
+        params[block] = {
+            "kernel": np.concatenate(kernels, axis=-1).astype(dtype),
+            "bias": np.concatenate(biases, axis=-1).astype(dtype),
+        }
+    for name in ("center_conv1", "center_conv2", "final"):
+        kernels = [np.asarray(p[name]["kernel"]) for p in member_params]
+        biases = [np.asarray(p[name]["bias"]) for p in member_params]
+        params[name] = {
+            "kernel": np.concatenate(kernels, axis=-1).astype(dtype),
+            "bias": np.concatenate(biases, axis=-1).astype(dtype),
+        }
+    for name in ("center_up", "upscale4", "upscale3", "upscale2"):
+        kernels = [np.asarray(p[name]["kernel"]) for p in member_params]
+        biases = [np.asarray(p[name]["bias"]) for p in member_params]
+        params[name] = {
+            "kernel": np.stack(kernels, axis=0).astype(dtype),
+            "bias": np.stack(biases, axis=0).astype(dtype),
+        }
+    return {"params": params}
+
+
+def make_grouped_ensemble_predictor(num_classes: int, members: int,
+                                    initial_filter_size: int = 8,
+                                    dtype=jnp.float32):
+    """(grouped_variables, x, rng) -> (M, B, *sp, C) softmax stack, same
+    contract as values_tpu.inference.predictors factories."""
+    model = EnsembleUNet3D(num_classes=num_classes, members=members,
+                           initial_filter_size=initial_filter_size,
+                           dtype=dtype)
+
+    def predict(grouped_variables, x, rng):
+        out = model.apply(grouped_variables, x)  # (B, D, H, W, M, C)
+        probs = jax.nn.softmax(out, axis=-1)
+        return jnp.moveaxis(probs, -2, 0), None  # (M, B, D, H, W, C)
+
+    return model, predict
