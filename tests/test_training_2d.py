@@ -1,0 +1,75 @@
+"""HRNet training path: BatchNorm state threading through the train step."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from values_tpu.config import make_config
+from values_tpu.training.experiment import Experiment
+from tests.test_hrnet import small_cfg
+
+H, W = 32, 32
+
+
+def _experiment(ssn=False):
+    cfg = make_config({
+        "exp_name": "gta-test", "seed": 1,
+        "learning_rate": 0.01, "weight_decay": 0.0005,
+        "pretrain_epochs": 1, "n_aleatoric_samples": 2,
+        "datamodule": {"ignore_index": 255, "num_classes": 5},
+        "model": {"_target_": "values_tpu.models.hrnet.get_seg_model",
+                  "cfg": small_cfg(num_classes=5, ssn=ssn)},
+        "optimizer": {"_target_": "torch.optim.SGD", "lr": 0.01,
+                      "momentum": 0.9, "weight_decay": 0.0005},
+        "lr_scheduler": {"_target_":
+                         "torch.optim.lr_scheduler.PolynomialLR",
+                         "power": 0.9},
+    })
+    return Experiment(cfg)
+
+
+def test_hrnet_train_step_updates_batch_stats(rng):
+    exp = _experiment()
+    state = exp.init_state_2d(jax.random.PRNGKey(0), H, W, 3)
+    assert exp.has_model_state
+    before = np.asarray(state.model_state["batch_stats"]["bn1"]["mean"])
+    batch = {
+        "data": jnp.asarray(rng.rand(2, H, W, 3).astype(np.float32)),
+        "seg": jnp.asarray(rng.randint(0, 5, size=(2, H, W))),
+    }
+    state2, loss = exp.train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    after = np.asarray(state2.model_state["batch_stats"]["bn1"]["mean"])
+    assert not np.allclose(before, after)  # BN stats updated
+    # params changed too
+    k0 = np.asarray(state2.params["conv1"]["kernel"])
+    # val step consumes the running stats
+    out = exp.val_step(state2.params, state2.model_state, batch,
+                       jax.random.PRNGKey(2))
+    assert np.isfinite(float(out["val_loss"]))
+    assert 0 <= float(out["val_dice"]) <= 1
+
+
+def test_hrnet_ignore_index_255_loss_path(rng):
+    exp = _experiment()
+    assert exp.ignore_index == 255
+    state = exp.init_state_2d(jax.random.PRNGKey(0), H, W, 3)
+    seg = rng.randint(0, 5, size=(1, H, W))
+    seg[:, :4] = 255  # ignore region
+    batch = {"data": jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32)),
+             "seg": jnp.asarray(seg)}
+    _, loss = exp.train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+
+
+@pytest.mark.slow
+def test_hrnet_ssn_train_step(rng):
+    exp = _experiment(ssn=True)
+    assert exp.is_ssn
+    state = exp.init_state_2d(jax.random.PRNGKey(0), H, W, 3)
+    batch = {"data": jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32)),
+             "seg": jnp.asarray(rng.randint(0, 5, size=(1, H, W)))}
+    _, loss = exp.train_step(state, batch, jax.random.PRNGKey(1),
+                             False)
+    assert np.isfinite(float(loss))

@@ -36,6 +36,7 @@ class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     step: jnp.ndarray
+    model_state: Any = None  # e.g. HRNet batch_stats; None for stateless
 
 
 def _to_channel_first(x: jnp.ndarray) -> jnp.ndarray:
@@ -61,6 +62,12 @@ class Experiment:
         self.is_ssn = isinstance(self.model, SsnUNet3D) or bool(
             getattr(self.model, "ssn", False))
         self.has_dropout = bool(getattr(self.model, "do_dropout", False))
+        # HRNet's DROPOUT_FINAL runs stochastically in every mode
+        self.needs_dropout_rng = bool(
+            getattr(self.model, "dropout_final", False))
+        # 2D HRNet carries a config dict and takes a `train` kwarg
+        self.is_2d = hasattr(self.model, "cfg")
+        self.has_model_state = False  # set by state_from_variables
         self.num_classes = int(getattr(self.model, "num_classes"))
 
         self.optimizer = self._build_optimizer()
@@ -89,58 +96,80 @@ class Experiment:
                    in_channels: int = 1) -> TrainState:
         sample = jnp.zeros((1,) + (patch_size,) * 3 + (in_channels,))
         variables = jax.jit(self.model.init)(rng, sample)
-        params = variables["params"]
-        opt_state = self.optimizer.init(params)
-        return TrainState(params=params, opt_state=opt_state,
-                          step=jnp.zeros((), dtype=jnp.int32))
+        return self.state_from_variables(variables)
+
+    def init_state_2d(self, rng: jax.Array, height: int, width: int,
+                      in_channels: int = 3) -> TrainState:
+        sample = jnp.zeros((1, height, width, in_channels))
+        variables = jax.jit(self.model.init)(rng, sample)
+        return self.state_from_variables(variables)
 
     def state_from_variables(self, variables: Any) -> TrainState:
         params = variables["params"] if "params" in variables else variables
+        model_state = {k: v for k, v in variables.items()
+                       if k != "params"} or None
+        self.has_model_state = model_state is not None
         return TrainState(params=params,
                           opt_state=self.optimizer.init(params),
-                          step=jnp.zeros((), dtype=jnp.int32))
+                          step=jnp.zeros((), dtype=jnp.int32),
+                          model_state=model_state)
 
     # ------------------------------------------------------------------
-    def _loss(self, params, batch, rng, pretrain: bool):
+    def _loss(self, params, model_state, batch, rng, pretrain: bool):
         data = batch["data"]
         target = batch["seg"].astype(jnp.int32)
         apply_kwargs: Dict[str, Any] = {}
-        if self.has_dropout:
+        if self.has_dropout or self.needs_dropout_rng:
             rng, dropout_rng = jax.random.split(rng)
-            apply_kwargs = dict(deterministic=False,
-                                rngs={"dropout": dropout_rng})
-        variables = {"params": params}
+            apply_kwargs["rngs"] = {"dropout": dropout_rng}
+            if self.has_dropout:
+                apply_kwargs["deterministic"] = False
+        variables = {"params": params, **(model_state or {})}
+        if self.has_model_state:
+            apply_kwargs["mutable"] = list(model_state.keys())
+            if self.is_2d:
+                apply_kwargs["train"] = True
+
+        def run(*args, **kw):
+            out = self.model.apply(variables, *args, **kw, **apply_kwargs)
+            if self.has_model_state:
+                return out  # (value, mutated_state)
+            return out, model_state
 
         if self.is_ssn:
-            dist = self.model.apply(variables, data,
-                                    mean_only=pretrain, **apply_kwargs)
+            dist, new_state = run(data, mean_only=pretrain)
             samples = dist.rsample(rng, (self.n_aleatoric_samples,))
             event = (self.num_classes,) + data.shape[1:-1]
             logit_samples = samples.reshape(
                 (self.n_aleatoric_samples, data.shape[0]) + event)
-            return L.ssn_mc_loglikelihood_loss(
+            loss = L.ssn_mc_loglikelihood_loss(
                 logit_samples, target, ignore_index=self.ignore_index)
+            return loss, new_state
         if self.aleatoric_loss:
-            mu, s = self.model.apply(variables, data, **apply_kwargs)
-            return L.aleatoric_sampling_loss(
+            (mu, s), new_state = run(data)
+            loss = L.aleatoric_sampling_loss(
                 _to_channel_first(mu), _to_channel_first(s), target, rng,
                 n_samples=self.n_aleatoric_samples)
-        logits = self.model.apply(variables, data, **apply_kwargs)
-        return L.dice_ce_loss(_to_channel_first(logits), target,
+            return loss, new_state
+        logits, new_state = run(data)
+        loss = L.dice_ce_loss(_to_channel_first(logits), target,
                               ignore_index=self.ignore_index)
+        return loss, new_state
 
     def train_step_fn(self, state: TrainState, batch: Dict, rng: jax.Array,
                       pretrain: bool = False
                       ) -> Tuple[TrainState, jnp.ndarray]:
         """Pure (un-jitted) update; jit via ``train_step`` or a mesh-
         sharded wrapper (values_tpu.parallel.mesh)."""
-        loss, grads = jax.value_and_grad(self._loss)(
-            state.params, batch, rng, pretrain)
+        (loss, new_model_state), grads = jax.value_and_grad(
+            self._loss, has_aux=True)(
+            state.params, state.model_state, batch, rng, pretrain)
         updates, opt_state = self.optimizer.update(
             grads, state.opt_state, state.params)
         params = jax.tree_util.tree_map(
             lambda p, u: p + u, state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), loss
+        return TrainState(params, opt_state, state.step + 1,
+                          new_model_state), loss
 
     @functools.partial(jax.jit, static_argnums=(0, 4),
                        donate_argnums=(1,))
@@ -149,13 +178,17 @@ class Experiment:
         return self.train_step_fn(state, batch, rng, pretrain)
 
     @functools.partial(jax.jit, static_argnums=(0,))
-    def val_step(self, params, batch: Dict,
+    def val_step(self, params, model_state, batch: Dict,
                  rng: jax.Array) -> Dict[str, jnp.ndarray]:
         data = batch["data"]
         target = batch["seg"].astype(jnp.int32)
-        variables = {"params": params}
+        variables = {"params": params, **(model_state or {})}
+        apply_kwargs: Dict[str, Any] = {}
+        if self.needs_dropout_rng:
+            rng, dropout_rng = jax.random.split(rng)
+            apply_kwargs["rngs"] = {"dropout": dropout_rng}
         if self.is_ssn:
-            dist = self.model.apply(variables, data)
+            dist = self.model.apply(variables, data, **apply_kwargs)
             samples = dist.rsample(rng, (self.n_aleatoric_samples,))
             event = (self.num_classes,) + data.shape[1:-1]
             logit_samples = samples.reshape(
@@ -169,7 +202,7 @@ class Experiment:
                                        num_classes=self.num_classes))(labels)
             return {"val_loss": loss, "val_dice": jnp.mean(dices)}
         if self.aleatoric_loss:
-            mu, s = self.model.apply(variables, data)
+            mu, s = self.model.apply(variables, data, **apply_kwargs)
             mu_cf, s_cf = _to_channel_first(mu), _to_channel_first(s)
             loss = L.aleatoric_sampling_loss(
                 mu_cf, s_cf, target, rng,
@@ -177,7 +210,7 @@ class Experiment:
             dice = M.dice_score(mu_cf, target,
                                 ignore_index=self.ignore_index)
             return {"val_loss": loss, "val_dice": dice}
-        logits = self.model.apply(variables, data)
+        logits = self.model.apply(variables, data, **apply_kwargs)
         logits_cf = _to_channel_first(logits)
         loss = L.dice_ce_loss(logits_cf, target,
                               ignore_index=self.ignore_index)

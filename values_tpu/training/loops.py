@@ -52,19 +52,36 @@ def fit(cfg: Config, max_steps_override: Optional[int] = None) -> str:
     if not cfg.get("version"):
         cfg["version"] = logger.version
 
-    datamodule = instantiate(
-        cfg.datamodule,
-        data_input_dir=cfg.get("data_input_dir"),
-        batch_size=cfg.get("batch_size", cfg.datamodule.get("batch_size", 8)))
+    is_2d = "AUGMENTATIONS" in cfg
+    if is_2d:
+        dm_cfg = dict(cfg.datamodule.to_container(), _recursive_=False)
+        datamodule = instantiate(
+            dm_cfg, data_input_dir=cfg.get("data_input_dir"),
+            augmentations=cfg["AUGMENTATIONS"],
+            batch_size=cfg.get("batch_size",
+                               cfg.datamodule.get("batch_size", 6)),
+            max_epochs=cfg.get("max_epochs", 1), seed=cfg.get("seed", 123))
+    else:
+        datamodule = instantiate(
+            cfg.datamodule,
+            data_input_dir=cfg.get("data_input_dir"),
+            batch_size=cfg.get("batch_size",
+                               cfg.datamodule.get("batch_size", 8)))
     datamodule.prepare_data()
     datamodule.setup()
 
     experiment = Experiment(cfg)
     rng = jax.random.PRNGKey(int(cfg.get("seed", 123)))
     rng, init_rng = jax.random.split(rng)
-    patch_size = int(cfg.select("datamodule.patch_size", 64))
-    in_channels = int(cfg.select("model.in_channels", 1))
-    state = experiment.init_state(init_rng, patch_size, in_channels)
+    if is_2d:
+        aug = cfg["AUGMENTATIONS"]
+        state = experiment.init_state_2d(
+            init_rng, int(aug["height"]), int(aug["width"]),
+            int(cfg.select("MODEL.INPUT_CHANNELS", 3)))
+    else:
+        patch_size = int(cfg.select("datamodule.patch_size", 64))
+        in_channels = int(cfg.select("model.in_channels", 1))
+        state = experiment.init_state(init_rng, patch_size, in_channels)
 
     max_epochs = int(cfg.get("max_epochs", 1))
     train_loader = datamodule.train_dataloader()
@@ -110,8 +127,8 @@ def fit(cfg: Config, max_steps_override: Optional[int] = None) -> str:
         val_metrics: Dict[str, list] = {}
         for batch in val_loader:
             rng, val_rng = jax.random.split(rng)
-            out = experiment.val_step(state.params, _device_batch(batch),
-                                      val_rng)
+            out = experiment.val_step(state.params, state.model_state,
+                                      _device_batch(batch), val_rng)
             for k, v in out.items():
                 val_metrics.setdefault(k, []).append(float(v))
         val_means = {f"validation/{k}": float(np.mean(v))
@@ -138,8 +155,8 @@ def fit(cfg: Config, max_steps_override: Optional[int] = None) -> str:
 
         save_checkpoint(
             os.path.join(ckpt_dir, "last.ckpt"),
-            {"params": state.params}, cfg.to_container(),
-            epoch=epoch, global_step=global_step)
+            {"params": state.params, **(state.model_state or {})},
+            cfg.to_container(), epoch=epoch, global_step=global_step)
         if max_steps_override and global_step >= max_steps_override:
             break
 
