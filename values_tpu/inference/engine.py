@@ -43,12 +43,10 @@ class SlidingWindowEngine:
                  mode: str = "default", n_pred: int = 1,
                  n_aleatoric_samples: int = 10, patch_size: int = 64,
                  patch_overlap: float = 1.0, window_batch: int = 8,
-                 dtype: Any = jnp.float32, seed: int = 123):
+                 dtype: Any = jnp.float32, seed: int = 123,
+                 use_grouped_ensemble: bool = False):
         self.model = model
         self.n_models = len(variables_list)
-        self.stacked_variables = stack_params([
-            jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype=dtype), v)
-            for v in variables_list])
         self.mode = mode
         self.n_pred = n_pred
         self.n_aleatoric_samples = n_aleatoric_samples
@@ -57,9 +55,38 @@ class SlidingWindowEngine:
         self.window_batch = window_batch
         self.dtype = dtype
         self.rng = jax.random.PRNGKey(seed)
-        self.predictor = make_predictor(
-            model, mode, self.n_models, n_pred, n_aleatoric_samples)
         self._process_cache: Dict[Any, Any] = {}
+
+        if use_grouped_ensemble and self._grouped_eligible(model):
+            # MXU-optimized path: members fused into grouped convolutions
+            # (values_tpu.models.ensemble_unet3d); numerically equivalent
+            # to the vmapped per-member path.
+            from ..models.ensemble_unet3d import (
+                group_member_variables, make_grouped_ensemble_predictor)
+            self.stacked_variables = jax.tree_util.tree_map(
+                jnp.asarray, group_member_variables(variables_list))
+            _, grouped = make_grouped_ensemble_predictor(
+                model.num_classes, self.n_models,
+                model.initial_filter_size, dtype=dtype)
+
+            def predictor(variables, x, rng):
+                stack, sigma = grouped(variables, x, rng)
+                return stack.astype(jnp.float32), sigma
+            self.predictor = predictor
+        else:
+            self.stacked_variables = stack_params([
+                jax.tree_util.tree_map(
+                    lambda x: jnp.asarray(x, dtype=dtype), v)
+                for v in variables_list])
+            self.predictor = make_predictor(
+                model, mode, self.n_models, n_pred, n_aleatoric_samples)
+
+    def _grouped_eligible(self, model: Any) -> bool:
+        from ..models.unet3d import UNet3D
+        return (self.mode == "default" and self.n_pred == 1
+                and self.n_models > 1 and type(model) is UNet3D
+                and not getattr(model, "do_dropout", False)
+                and not getattr(model, "aleatoric_loss", False))
 
     @property
     def total_samples(self) -> int:

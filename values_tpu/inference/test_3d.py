@@ -41,6 +41,10 @@ def test_cli(argv=None) -> argparse.Namespace:
     parser.add_argument("--test_split", type=str, default="id")
     parser.add_argument("--test_time_augmentations", "-tta", dest="tta",
                         action="store_true")
+    parser.add_argument("--no-grouped-ensemble", dest="grouped_ensemble",
+                        action="store_false", default=True,
+                        help="disable the MXU-optimized grouped-conv "
+                             "ensemble lowering")
     return parser.parse_args(argv)
 
 
@@ -110,7 +114,8 @@ def build_engine(hparams: Dict, variables_list: List, args,
         n_aleatoric_samples=hparams.get("n_aleatoric_samples", 10),
         patch_size=hparams["datamodule"]["patch_size"],
         patch_overlap=hparams["datamodule"]["patch_overlap"],
-        dtype=dtype, seed=hparams.get("seed", 123))
+        dtype=dtype, seed=hparams.get("seed", 123),
+        use_grouped_ensemble=getattr(args, "grouped_ensemble", True))
     return engine, is_ssn
 
 
