@@ -193,3 +193,36 @@ def create_splits(base_dir: str, orig_base_dir: str, splits_path: str,
     splits_path.parent.mkdir(parents=True, exist_ok=True)
     with open(splits_path, "wb") as f:
         pickle.dump(splits, f)
+
+
+def main(argv=None) -> None:
+    """CLI: preprocess GTA/Cityscapes or create the first-cycle splits."""
+    import argparse
+    parser = argparse.ArgumentParser(description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+    prep = sub.add_parser("preprocess")
+    prep.add_argument("--dataset_path", required=True)
+    prep.add_argument("--save_path", default=None)
+    prep.add_argument("--dataset", choices=["cityscapes", "gta"],
+                      required=True)
+    spl = sub.add_parser("splits")
+    spl.add_argument("--dataset_path", required=True)
+    spl.add_argument("--original_dataset_path", default=None)
+    spl.add_argument("--splits_path", default=None)
+    spl.add_argument("--seed", type=int, default=123)
+    args = parser.parse_args(argv)
+    if args.command == "preprocess":
+        preprocess_dataset(args.dataset_path,
+                           args.save_path or args.dataset_path,
+                           args.dataset)
+    else:
+        splits_path = args.splits_path or str(
+            Path(args.dataset_path) / "splits" / "firstCycle" /
+            "splits.pkl")
+        create_splits(args.dataset_path,
+                      args.original_dataset_path or args.dataset_path,
+                      splits_path, seed=args.seed)
+
+
+if __name__ == "__main__":
+    main()

@@ -226,3 +226,37 @@ def create_first_cycle_splits(output_path: str, shift_feature: str,
     output_path.parent.mkdir(parents=True, exist_ok=True)
     with open(output_path, "wb") as f:
         pickle.dump(splits, f)
+
+
+def main(argv=None) -> None:
+    """CLI: LIDC extraction / ID-OoD labeling / first-cycle splits."""
+    import argparse
+    parser = argparse.ArgumentParser(description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+    ext = sub.add_parser("extract")
+    ext.add_argument("--save_path", "-s", required=True)
+    lab = sub.add_parser("id_ood")
+    lab.add_argument("--dataset_path", "-d", required=True)
+    spl = sub.add_parser("splits")
+    spl.add_argument("--dataset_path", "-d", default=None)
+    spl.add_argument("--id_ood_csv", default=None)
+    spl.add_argument("--splits_path", default=None)
+    spl.add_argument("--feature", default="texture")
+    spl.add_argument("--seed", type=int, default=123)
+    args = parser.parse_args(argv)
+    if args.command == "extract":
+        save_cropped_nodules(args.save_path)
+    elif args.command == "id_ood":
+        calculate_rater_agreement(args.dataset_path, save_df=True)
+    else:
+        id_ood_csv = args.id_ood_csv or str(
+            Path(args.dataset_path) / "id_ood.csv")
+        splits_path = args.splits_path or str(
+            Path(args.dataset_path) / "splits" / args.feature /
+            "firstCycle" / "splits.pkl")
+        create_first_cycle_splits(splits_path, args.feature, id_ood_csv,
+                                  seed=args.seed)
+
+
+if __name__ == "__main__":
+    main()

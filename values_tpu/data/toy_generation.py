@@ -226,3 +226,18 @@ def generate_benchmark_case(dataset_name: str, base_save_path: str) -> None:
                 for f in seg_dir.iterdir():
                     shutil.copy(f, labels_dir / f.name)
                 shutil.rmtree(seg_dir)
+
+
+def main(argv=None) -> None:
+    """CLI: generate a benchmark case (dataset_generation_benchmark.py)."""
+    import argparse
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--base_save_path", required=True)
+    parser.add_argument("--dataset_name", default="Case_1",
+                        choices=sorted(BENCHMARK_CASES))
+    args = parser.parse_args(argv)
+    generate_benchmark_case(args.dataset_name, args.base_save_path)
+
+
+if __name__ == "__main__":
+    main()
