@@ -118,6 +118,13 @@ def compose(config_dir: Union[str, Path], config_name: str,
             continue
         value_overrides.append(("add" if add else "set", key, val))
 
+    def _split_at_package(name: str):
+        """Hydra's ``name@package`` defaults syntax."""
+        if "@" in name:
+            file_name, _, pkg = name.partition("@")
+            return file_name, pkg
+        return name, None
+
     cfg = make_config({})
     self_merged = False
     for group, name in norm_defaults:
@@ -127,21 +134,38 @@ def compose(config_dir: Union[str, Path], config_name: str,
             merge(cfg, primary)
             self_merged = True
             continue
-        sub_dir = config_dir / group if group else config_dir
-        sub, package = _load_yaml(_find_config_file(sub_dir, str(name)))
+        name, at_package = _split_at_package(str(name))
+        group_clean, group_at = (_split_at_package(group)
+                                 if group else (group, None))
+        at_package = at_package or group_at
+        sub_dir = config_dir / group_clean if group_clean else config_dir
+        sub_path = _find_config_file(sub_dir, name)
+        sub, package = _load_yaml(sub_path)
         sub_defaults = sub.pop("defaults", None)
         if sub_defaults:
-            # one level of nested defaults (used by eval task bundles)
+            # one level of nested defaults (used by eval task bundles);
+            # relative entries resolve against the sub config's own dir.
+            # ``# @package _global_`` entries merge at the TRUE root (Hydra
+            # semantics), everything else inside the sub config.
+            nested_dir = sub_path.parent
+
+            def _nested(target_name, target_group):
+                n2, p2_at = _split_at_package(str(target_name))
+                g2_clean, g2_at = (_split_at_package(str(target_group))
+                                   if target_group else (None, None))
+                d2 = nested_dir / g2_clean if g2_clean else nested_dir
+                s2, p2 = _load_yaml(_find_config_file(d2, n2))
+                pkg = p2_at or g2_at or p2
+                target = cfg if pkg == "_global_" else sub
+                _merge_at_package(target, s2, pkg, g2_clean)
+
             for entry in sub_defaults:
                 if isinstance(entry, dict):
                     for g2, n2 in entry.items():
-                        s2, p2 = _load_yaml(
-                            _find_config_file(sub_dir / str(g2), str(n2)))
-                        _merge_at_package(sub, s2, p2, str(g2))
+                        _nested(n2, g2)
                 elif entry != "_self_":
-                    s2, p2 = _load_yaml(_find_config_file(sub_dir, str(entry)))
-                    _merge_at_package(sub, s2, p2, None)
-        _merge_at_package(cfg, sub, package, group)
+                    _nested(entry, None)
+        _merge_at_package(cfg, sub, at_package or package, group_clean)
     if not self_merged:
         merge(cfg, primary)  # primary values take precedence (Hydra 1.0 style)
 

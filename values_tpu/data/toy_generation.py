@@ -205,6 +205,50 @@ BENCHMARK_CASES = {
     },
 }
 
+_CASE3_TESTS = [
+    dict(input_files=["ballSphere.stl"], n_samples=7,
+         image_size=(64, 64, 64), min_object_ratio=5, max_object_ratio=2,
+         gauss_sigma=8, object_gray=True, blur=False, noise=True,
+         segmentation=True, n_raters=1, sample_offset=0, seed=14),
+    dict(input_files=["Cube.stl"], n_samples=7, image_size=(64, 64, 64),
+         min_object_ratio=5, max_object_ratio=2, gauss_sigma=8, blur=False,
+         noise=True, segmentation=True, n_raters=1, sample_offset=7,
+         seed=17),
+    dict(input_files=["ballSphere.stl"], n_samples=7,
+         image_size=(64, 64, 64), min_object_ratio=5, max_object_ratio=2,
+         gauss_sigma=8, blur=False, noise=True, segmentation=True,
+         n_raters=1, object_over_border=True, sample_offset=14, seed=19),
+    dict(input_files=["ballSphere.stl"], n_samples=21,
+         image_size=(64, 64, 64), min_object_ratio=5, max_object_ratio=2,
+         gauss_sigma=8, blur=False, noise=True, segmentation=True,
+         n_raters=1, sample_offset=21, seed=24),
+]
+
+# Case_3a/3b: training mixes blurred/ambiguous and clean halves
+# (configs/Case_3a, Case_3b)
+BENCHMARK_CASES["Case_3a"] = {
+    "train": [
+        dict(input_files=["ballSphere.stl"], n_samples=100,
+             image_size=(64, 64, 64), min_object_ratio=5,
+             max_object_ratio=2, gauss_sigma=8, blur=True, noise=True,
+             segmentation=True, n_raters=3, sample_offset=0, seed=63),
+        dict(input_files=["ballSphere.stl"], n_samples=100,
+             image_size=(64, 64, 64), min_object_ratio=5,
+             max_object_ratio=2, gauss_sigma=8, blur=False, noise=True,
+             segmentation=True, n_raters=3, sample_offset=100, seed=36),
+    ],
+    "test": list(_CASE3_TESTS),
+}
+BENCHMARK_CASES["Case_3b"] = {
+    "train": BENCHMARK_CASES["Case_3a"]["train"],
+    "test": _CASE3_TESTS + [
+        dict(input_files=["ballSphere.stl"], n_samples=21,
+             image_size=(64, 64, 64), min_object_ratio=5,
+             max_object_ratio=2, gauss_sigma=8, blur=True, noise=True,
+             segmentation=True, n_raters=3, sample_offset=42, seed=34),
+    ],
+}
+
 
 def generate_benchmark_case(dataset_name: str, base_save_path: str) -> None:
     """Generate images{Tr,Ts}/labels{Tr,Ts} for one benchmark case
