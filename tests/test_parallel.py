@@ -1,0 +1,113 @@
+"""Mesh parallelism on the virtual 8-device CPU mesh: data-parallel train
+step, sample-sharded prediction, spatially-sharded volume inference."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from values_tpu.config import compose
+from values_tpu.models.unet3d import UNet3D
+from values_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                      make_parallel_train_step, replicated,
+                                      sample_sharding)
+from values_tpu.parallel.spatial import (make_sharded_volume_predictor,
+                                         pad_starts_to_shards)
+from values_tpu.inference.predictors import (make_default_predictor,
+                                             stack_params)
+from values_tpu.ops.window import enumerate_window_starts
+from values_tpu.training.experiment import Experiment
+
+P = 16
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def test_data_parallel_train_step_matches_single_device(tmp_path):
+    cfg = compose("configs", "softmax_config", overrides=[
+        "model.initial_filter_size=2", "datamodule.patch_size=16",
+        f"data_input_dir={tmp_path}", f"save_dir={tmp_path}"])
+    exp = Experiment(cfg)
+    state = exp.init_state(jax.random.PRNGKey(0), P)
+    rng = jax.random.PRNGKey(1)
+    rs = np.random.RandomState(0)
+    batch = {
+        "data": jnp.asarray(rs.rand(8, P, P, P, 1).astype(np.float32)),
+        "seg": jnp.asarray(rs.randint(0, 2, size=(8, P, P, P))),
+    }
+    # single-device result
+    state_ref, loss_ref = exp.train_step(state, batch, rng)
+
+    mesh = make_mesh(n_data=8, n_sample=1)
+    pstate = jax.device_put(exp.init_state(jax.random.PRNGKey(0), P),
+                            replicated(mesh))
+    sharded_batch = {k: jax.device_put(v, batch_sharding(mesh))
+                     for k, v in batch.items()}
+    pstep = make_parallel_train_step(exp, mesh)
+    pstate2, loss_par = pstep(pstate, sharded_batch, rng)
+    assert float(loss_par) == pytest.approx(float(loss_ref), abs=1e-5)
+    # parameters agree after one step
+    k_ref = np.asarray(state_ref.params["final"]["kernel"])
+    k_par = np.asarray(pstate2.params["final"]["kernel"])
+    np.testing.assert_allclose(k_par, k_ref, atol=1e-5)
+
+
+def test_spatially_sharded_inference_matches_single_device(rng):
+    mesh = make_mesh(n_data=8, n_sample=1)
+    model = UNet3D(num_classes=2, initial_filter_size=2)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, P, P, P, 1)))
+    stacked = stack_params([variables])
+    predictor = make_default_predictor(model, 1, 1, False)
+
+    vol_shape = (P, 2 * P, 2 * P)  # 4 windows
+    vol = rng.rand(*vol_shape).astype(np.float32)
+    starts = enumerate_window_starts(vol_shape, P, 1.0)
+    starts_padded = pad_starts_to_shards(starts, 8)
+    assert starts_padded.shape[0] == 8
+
+    sharded = make_sharded_volume_predictor(
+        predictor, mesh, P, vol_shape, num_classes=2)
+    sums, counts = sharded(stacked, jnp.asarray(vol),
+                           jnp.asarray(starts_padded),
+                           jax.random.PRNGKey(1))
+
+    # single-device reference with the same padded window list (duplicate
+    # windows raise counts; count normalization cancels them)
+    from values_tpu.ops.window import extract_windows, stitch_windows
+    wins = extract_windows(jnp.asarray(vol), jnp.asarray(starts_padded), P)
+    stack, _ = jax.jit(predictor)(stacked, wins[..., None],
+                                  jax.random.PRNGKey(1))
+    ref_sums = stitch_windows(stack[0], jnp.asarray(starts_padded),
+                              vol_shape + (2,))
+    norm = np.asarray(sums[0]) / np.maximum(np.asarray(counts)[..., None], 1)
+    ref_norm = (np.asarray(ref_sums)
+                / np.maximum(np.asarray(counts)[..., None], 1))
+    np.testing.assert_allclose(norm, ref_norm, atol=2e-3)
+    # every voxel covered at least once; duplicated window counted twice
+    assert np.asarray(counts).min() >= 1
+    assert np.asarray(counts).max() >= 2
+
+
+def test_sample_sharded_ensemble(rng):
+    from values_tpu.parallel.mesh import make_parallel_sample_predict
+    mesh = make_mesh(n_data=2, n_sample=4)
+    model = UNet3D(num_classes=2, initial_filter_size=2)
+    init = jax.jit(model.init)
+    members = [init(k, jnp.zeros((1, P, P, P, 1)))
+               for k in jax.random.split(jax.random.PRNGKey(0), 4)]
+    stacked = jax.device_put(stack_params(members), sample_sharding(mesh))
+    x = jax.device_put(jnp.asarray(rng.rand(1, P, P, P, 1),
+                                   dtype=jnp.float32), replicated(mesh))
+    fn = make_parallel_sample_predict(model, 4, mesh)
+    stack = fn(stacked, x, jax.random.PRNGKey(1))
+    assert stack.shape == (4, 1, P, P, P, 2)
+    assert np.all(np.isfinite(np.asarray(stack)))
+
+    # member outputs match the unsharded vmapped predictor
+    predictor = make_default_predictor(model, 4, 1, False)
+    ref_stack, _ = jax.jit(predictor)(stack_params(members), x,
+                                      jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(stack), np.asarray(ref_stack),
+                               atol=2e-3)

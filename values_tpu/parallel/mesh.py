@@ -80,14 +80,34 @@ def make_parallel_train_step(experiment, mesh: Mesh):
         out_shardings=(rep, rep))
 
 
-def make_parallel_sample_predict(predict_fn, mesh: Mesh):
-    """jit a C1 predictor with its stacked params/outputs sharded along the
-    ``sample`` axis — ensemble members live on different chips and only the
-    fused statistics cross ICI."""
-    rep = replicated(mesh)
-    samp = sample_sharding(mesh)
+def make_parallel_sample_predict(model, n_models: int, mesh: Mesh,
+                                 n_pred: int = 1,
+                                 stochastic: bool = False):
+    """Shard a deep ensemble's members over the ``sample`` axis with
+    shard_map: each chip runs its member shard's forwards; only the stacked
+    softmax (or downstream fused statistics) crosses ICI.
 
-    return jax.jit(
-        predict_fn,
-        in_shardings=(samp, rep, rep),
-        out_shardings=(samp, None))
+    Plain jit sharding cannot partition a vmapped conv along the stacked-
+    params axis (GSPMD would try to re-express it as a grouped conv), so
+    the member loop is made explicitly local per shard.
+    """
+    from jax.sharding import PartitionSpec as P
+    from ..inference.predictors import make_default_predictor
+
+    n_shards = mesh.shape[SAMPLE_AXIS]
+    if n_models % n_shards:
+        raise ValueError(f"{n_models} members not divisible by "
+                         f"{n_shards} sample shards")
+    local_predict = make_default_predictor(
+        model, n_models // n_shards, n_pred, stochastic)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(SAMPLE_AXIS), P(), P()),
+             out_specs=P(SAMPLE_AXIS), check_vma=False)
+    def predict(local_members, x, rng):
+        # decorrelate per-shard RNG streams
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(SAMPLE_AXIS))
+        stack, _ = local_predict(local_members, x, rng)
+        return stack
+
+    return jax.jit(predict)
