@@ -148,3 +148,23 @@ def test_run_samples_and_carrier_outputs(rng, small_model, tmp_path):
     img_metrics = metrics[str(tmp_path / "0.npy")]
     assert {"loss", "dice", "ged"} <= set(img_metrics)
     assert "max dice pred" in img_metrics
+
+
+def test_window_chunking_equals_full_batch(rng, small_model):
+    """Chunked window processing (window_batch) must equal the one-shot
+    result, including padded-duplicate count handling."""
+    model, variables = small_model
+    vol = rng.rand(P, 3 * P, P).astype(np.float32)  # 3 windows
+    full = SlidingWindowEngine(model, [variables], patch_size=P,
+                               window_batch=8)
+    chunked = SlidingWindowEngine(model, [variables], patch_size=P,
+                                  window_batch=2)  # 2 + padded chunk
+    s_full, c_full, d_full, *_ = full.run_volume(vol)
+    s_chunk, c_chunk, d_chunk, *_ = chunked.run_volume(vol)
+    norm_full = s_full / np.clip(c_full, 1, None)
+    norm_chunk = s_chunk / np.clip(c_chunk, 1, None)
+    np.testing.assert_allclose(norm_chunk, norm_full, atol=2e-5)
+    np.testing.assert_allclose(d_chunk / np.clip(c_chunk, 1, None),
+                               d_full / np.clip(c_full, 1, None), atol=1e-6)
+    # duplicated pad window raises the count in its region
+    assert c_chunk.max() == 2

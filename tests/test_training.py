@@ -127,3 +127,18 @@ def test_fit_ssn(toy_dataset, tmp_path):
     ckpt_path = fit(cfg)
     hparams, variables = load_any_checkpoint(ckpt_path)
     assert "mean_conv" in variables["params"]
+
+
+def test_fit_resume(toy_dataset, tmp_path):
+    cfg = _tiny_cfg(toy_dataset, tmp_path, max_epochs=1)
+    ckpt1 = fit(cfg)
+    hp1, _ = load_any_checkpoint(ckpt1)
+    from values_tpu.training.checkpoint import load_checkpoint
+    payload1 = load_checkpoint(ckpt1)
+    assert payload1["epoch"] == 0 and payload1["opt_state"] is not None
+
+    cfg2 = _tiny_cfg(toy_dataset, tmp_path, max_epochs=2)
+    ckpt2 = fit(cfg2, resume_from=ckpt1)
+    payload2 = load_checkpoint(ckpt2)
+    assert payload2["epoch"] == 1
+    assert payload2["global_step"] > payload1["global_step"]

@@ -138,15 +138,38 @@ class SlidingWindowEngine:
         if starts is None:
             starts = enumerate_window_starts(
                 vol_shape, self.patch_size, self.patch_overlap)
-        key = (vol_shape, len(starts))
-        if key not in self._process_cache:
-            self._process_cache[key] = self._build_process_fn(
-                vol_shape, len(starts))
-        process = self._process_cache[key]
+        starts = np.asarray(starts)
 
-        stitched, sigma_stitched, counts, data_sums = process(
-            jnp.asarray(volume, dtype=self.dtype), jnp.asarray(starts),
-            self.stacked_variables, self._next_rng())
+        # chunk the window batch to bound activation memory; the last chunk
+        # pads by repeating its final window (sums and counts scale
+        # together, so count normalization stays exact)
+        chunk = max(1, self.window_batch)
+        chunks = []
+        for i in range(0, len(starts), chunk):
+            part = starts[i:i + chunk]
+            if len(part) < chunk and i > 0:
+                pad = np.repeat(part[-1:], chunk - len(part), axis=0)
+                part = np.concatenate([part, pad], axis=0)
+            chunks.append(part)
+
+        volume_dev = jnp.asarray(volume, dtype=self.dtype)
+        stitched = sigma_stitched = counts = data_sums = None
+        for part in chunks:
+            key = (vol_shape, len(part))
+            if key not in self._process_cache:
+                self._process_cache[key] = self._build_process_fn(
+                    vol_shape, len(part))
+            out = self._process_cache[key](
+                volume_dev, jnp.asarray(part), self.stacked_variables,
+                self._next_rng())
+            if stitched is None:
+                stitched, sigma_stitched, counts, data_sums = out
+            else:
+                stitched = stitched + out[0]
+                if sigma_stitched is not None and out[1] is not None:
+                    sigma_stitched = sigma_stitched + out[1]
+                counts = counts + out[2]
+                data_sums = data_sums + out[3]
 
         softmax_sums = np.moveaxis(np.asarray(stitched), -1, 1)
         sigma_sums = (np.moveaxis(np.asarray(sigma_stitched), -1, 1)

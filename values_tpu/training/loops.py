@@ -31,8 +31,14 @@ def _device_batch(batch: Dict) -> Dict:
     return out
 
 
-def fit(cfg: Config, max_steps_override: Optional[int] = None) -> str:
-    """Train per the config; returns the final checkpoint path."""
+def fit(cfg: Config, max_steps_override: Optional[int] = None,
+        resume_from: Optional[str] = None) -> str:
+    """Train per the config; returns the final checkpoint path.
+
+    ``resume_from``: path to a native checkpoint — model params, optimizer
+    state, epoch and global step are restored (the reference relies on
+    PL's resume; here the checkpoint is fully self-describing).
+    """
     set_seed(int(cfg.get("seed", 123)))
 
     if "DATASET_LOCATION" in os.environ:
@@ -83,6 +89,26 @@ def fit(cfg: Config, max_steps_override: Optional[int] = None) -> str:
         in_channels = int(cfg.select("model.in_channels", 1))
         state = experiment.init_state(init_rng, patch_size, in_channels)
 
+    start_epoch = 0
+    global_step = 0
+    if resume_from:
+        from .checkpoint import load_checkpoint
+        payload = load_checkpoint(resume_from)
+        variables = payload["state_dict"]
+        resumed = experiment.state_from_variables(variables)
+        opt_state = (jax.tree_util.tree_map(jnp.asarray,
+                                            payload["opt_state"])
+                     if payload.get("opt_state") is not None
+                     else resumed.opt_state)
+        state = resumed._replace(
+            opt_state=opt_state,
+            step=jnp.asarray(payload.get("global_step", 0),
+                             dtype=jnp.int32))
+        start_epoch = int(payload.get("epoch", -1)) + 1
+        global_step = int(payload.get("global_step", 0))
+        print(f"Resumed from {resume_from} at epoch {start_epoch}, "
+              f"step {global_step}")
+
     max_epochs = int(cfg.get("max_epochs", 1))
     train_loader = datamodule.train_dataloader()
     val_loader = datamodule.val_dataloader()
@@ -101,9 +127,8 @@ def fit(cfg: Config, max_steps_override: Optional[int] = None) -> str:
     ckpt_dir = os.path.join(logger.log_dir, "checkpoints")
     gradient_clip = cfg.get("gradient_clip_val")  # logged-only for now
 
-    global_step = 0
     t_start = time.time()
-    for epoch in range(max_epochs):
+    for epoch in range(start_epoch, max_epochs):
         experiment.current_epoch = epoch
         pretrain = experiment.is_ssn and epoch < experiment.pretrain_epochs
         epoch_losses = []
@@ -156,7 +181,8 @@ def fit(cfg: Config, max_steps_override: Optional[int] = None) -> str:
         save_checkpoint(
             os.path.join(ckpt_dir, "last.ckpt"),
             {"params": state.params, **(state.model_state or {})},
-            cfg.to_container(), epoch=epoch, global_step=global_step)
+            cfg.to_container(), epoch=epoch, global_step=global_step,
+            opt_state=state.opt_state)
         if max_steps_override and global_step >= max_steps_override:
             break
 
