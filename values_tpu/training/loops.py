@@ -31,6 +31,48 @@ def _device_batch(batch: Dict) -> Dict:
     return out
 
 
+def _log_val_image(logger, experiment, state, batch, rng,
+                   step: int) -> None:
+    """Log one validation segmentation panel (input / GT / prediction),
+    mirroring the reference's TensorBoard image grids
+    (lightning_experiment.py:332-372). Best-effort: failures never break
+    training."""
+    try:
+        import jax as _jax
+        data = jnp.asarray(batch["data"][:1])
+        variables = {"params": state.params, **(state.model_state or {})}
+        out = experiment.model.apply(variables, data) \
+            if not experiment.needs_dropout_rng else \
+            experiment.model.apply(variables, data, rngs={"dropout": rng})
+        if isinstance(out, tuple):
+            out = out[0]
+        if hasattr(out, "mean"):  # SSN distribution
+            event = (experiment.num_classes,) + data.shape[1:-1]
+            out = jnp.moveaxis(out.mean.reshape((1,) + event), 1, -1)
+        pred = np.asarray(jnp.argmax(out, axis=-1))[0]
+        img = np.asarray(data)[0]
+        if img.ndim == 4:  # 3D volume -> central slice
+            mid = img.shape[0] // 2
+            img2d, pred2d = img[mid, ..., 0], pred[mid]
+            seg2d = np.asarray(batch["seg"])[0][mid] if "seg" in batch \
+                else np.zeros_like(pred2d)
+        else:
+            img2d = img.mean(axis=-1)
+            pred2d = pred
+            seg2d = (np.asarray(batch["seg"])[0] if "seg" in batch
+                     else np.zeros_like(pred2d))
+        def norm(x):
+            x = x.astype(np.float32)
+            lo, hi = x.min(), x.max()
+            return (x - lo) / (hi - lo + 1e-8)
+        panel = np.concatenate(
+            [norm(img2d), norm(seg2d), norm(pred2d)], axis=1)[..., None]
+        logger.log_image("validation/example", np.repeat(panel, 3, axis=-1),
+                         step)
+    except Exception:
+        pass
+
+
 def fit(cfg: Config, max_steps_override: Optional[int] = None,
         resume_from: Optional[str] = None) -> str:
     """Train per the config; returns the final checkpoint path.
@@ -150,12 +192,17 @@ def fit(cfg: Config, max_steps_override: Optional[int] = None,
 
         # validation
         val_metrics: Dict[str, list] = {}
+        logged_image = False
         for batch in val_loader:
             rng, val_rng = jax.random.split(rng)
             out = experiment.val_step(state.params, state.model_state,
                                       _device_batch(batch), val_rng)
             for k, v in out.items():
                 val_metrics.setdefault(k, []).append(float(v))
+            if not logged_image:
+                _log_val_image(logger, experiment, state, batch, val_rng,
+                               global_step)
+                logged_image = True
         val_means = {f"validation/{k}": float(np.mean(v))
                      for k, v in val_metrics.items()}
         logger.log_scalars(val_means, global_step)
