@@ -168,3 +168,23 @@ def test_window_chunking_equals_full_batch(rng, small_model):
                                d_full / np.clip(c_full, 1, None), atol=1e-6)
     # duplicated pad window raises the count in its region
     assert c_chunk.max() == 2
+
+
+def test_engine_grouped_mc_dropout(rng):
+    """Grouped MC-dropout engine path: n_pred stochastic samples with the
+    same uncertainty statistics as the vmapped path."""
+    model = UNet3D(num_classes=2, initial_filter_size=2, do_dropout=True)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, P, P, P, 1)))
+    vol = rng.rand(P, P, P).astype(np.float32)
+    grouped = SlidingWindowEngine(model, [variables], mode="default",
+                                  n_pred=6, patch_size=P, seed=1,
+                                  use_grouped_ensemble=True)
+    s_grouped, *_ = grouped.run_volume(vol)
+    assert s_grouped.shape[0] == 6
+    assert not np.allclose(s_grouped[0], s_grouped[1])
+    vmapped = SlidingWindowEngine(model, [variables], mode="default",
+                                  n_pred=6, patch_size=P, seed=1)
+    s_vmapped, *_ = vmapped.run_volume(vol)
+    # MC mean prediction statistics agree across implementations
+    assert np.abs(s_grouped.mean(0) - s_vmapped.mean(0)).mean() < 0.05

@@ -51,3 +51,40 @@ def test_grouped_param_shapes(members):
     assert k.shape == (3, 3, 3, 1, M * 2)
     up = grouped["params"]["upscale4"]["kernel"]
     assert up.shape == (M, 2, 2, 2, 16, 8)
+
+
+def test_grouped_mc_dropout_statistics(rng):
+    """Tiling one dropout model M times + grouped dropout must match the
+    per-pass MC statistics (mean prediction) of the vmapped path."""
+    from values_tpu.models.unet3d import UNet3D
+    from values_tpu.models.ensemble_unet3d import (
+        group_member_variables, make_grouped_ensemble_predictor)
+    from values_tpu.inference.predictors import make_default_predictor
+
+    base = UNet3D(num_classes=2, initial_filter_size=2, do_dropout=True)
+    v = jax.jit(base.init)(jax.random.PRNGKey(0),
+                           jnp.zeros((1, P, P, P, 1)))
+    x = jnp.asarray(rng.rand(1, P, P, P, 1).astype(np.float32))
+    S = 16
+
+    # vmapped MC passes
+    vm = make_default_predictor(base, 1, S, True)
+    ref_stack, _ = jax.jit(vm)(stack_params([v]), x, jax.random.PRNGKey(1))
+    # grouped MC passes (weights tiled S times)
+    gvars = group_member_variables([v] * S)
+    _, gp = make_grouped_ensemble_predictor(2, S, 2, do_dropout=True)
+    got_stack, _ = jax.jit(gp)(gvars, x, jax.random.PRNGKey(2))
+    assert got_stack.shape == ref_stack.shape
+
+    # different RNG streams => per-sample outputs differ but the MC mean
+    # and dispersion statistics agree
+    ref_mean = np.asarray(ref_stack).mean(axis=0)
+    got_mean = np.asarray(got_stack).mean(axis=0)
+    assert np.abs(ref_mean - got_mean).mean() < 0.05
+    ref_std = np.asarray(ref_stack).std(axis=0).mean()
+    got_std = np.asarray(got_stack).std(axis=0).mean()
+    assert got_std == pytest.approx(ref_std, rel=0.4)
+    # samples within a grouped pass are actually distinct (independent
+    # dropout masks per member group)
+    assert not np.allclose(np.asarray(got_stack)[0],
+                           np.asarray(got_stack)[1])

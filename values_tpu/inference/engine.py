@@ -60,14 +60,20 @@ class SlidingWindowEngine:
         if use_grouped_ensemble and self._grouped_eligible(model):
             # MXU-optimized path: members fused into grouped convolutions
             # (values_tpu.models.ensemble_unet3d); numerically equivalent
-            # to the vmapped per-member path.
+            # to the vmapped per-member path. MC-dropout tiles one model's
+            # weights n_pred times — the grouped dropout mask realizes the
+            # independent MC passes.
             from ..models.ensemble_unet3d import (
                 group_member_variables, make_grouped_ensemble_predictor)
+            mc_dropout = bool(getattr(model, "do_dropout", False))
+            member_list = (list(variables_list) * n_pred if mc_dropout
+                           else list(variables_list))
+            groups = len(member_list)
             self.stacked_variables = jax.tree_util.tree_map(
-                jnp.asarray, group_member_variables(variables_list))
+                jnp.asarray, group_member_variables(member_list))
             _, grouped = make_grouped_ensemble_predictor(
-                model.num_classes, self.n_models,
-                model.initial_filter_size, dtype=dtype)
+                model.num_classes, groups, model.initial_filter_size,
+                dtype=dtype, do_dropout=mc_dropout)
 
             def predictor(variables, x, rng):
                 stack, sigma = grouped(variables, x, rng)
@@ -83,10 +89,13 @@ class SlidingWindowEngine:
 
     def _grouped_eligible(self, model: Any) -> bool:
         from ..models.unet3d import UNet3D
-        return (self.mode == "default" and self.n_pred == 1
-                and self.n_models > 1 and type(model) is UNet3D
-                and not getattr(model, "do_dropout", False)
-                and not getattr(model, "aleatoric_loss", False))
+        if self.mode != "default" or type(model) is not UNet3D or getattr(
+                model, "aleatoric_loss", False):
+            return False
+        if getattr(model, "do_dropout", False):
+            # MC-dropout: one model, n_pred grouped passes
+            return self.n_models == 1 and self.n_pred > 1
+        return self.n_pred == 1 and self.n_models > 1
 
     @property
     def total_samples(self) -> int:

@@ -59,13 +59,21 @@ class GroupedConvTransposeK2S2(nn.Module):
 
 class EnsembleUNet3D(nn.Module):
     """M-member grouped UNet3D; input (B, D, H, W, 1) is tiled across
-    members internally; output (B, D, H, W, M, num_classes)."""
+    members internally; output (B, D, H, W, M, num_classes).
+
+    ``do_dropout`` reproduces MC-dropout in the grouped layout: dropout is
+    elementwise-iid, so a p=0.5 mask over the M-wide grouped activations is
+    exactly M independent per-member masks — tiling one member's weights M
+    times turns M sequential MC passes into one grouped forward
+    (test_3D.py:417-483's n_pred loop collapsed onto the channel axis).
+    """
     num_classes: int
     members: int
     in_channels: int = 1
     initial_filter_size: int = 8
     kernel_size: int = 3
     do_instancenorm: bool = True
+    do_dropout: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -80,12 +88,19 @@ class EnsembleUNet3D(nn.Module):
         var = jnp.var(x, axis=(1, 2, 3), keepdims=True)
         return (x - mean) * jax.lax.rsqrt(var + 1e-5)
 
-    def _block(self, x, name, features, norm=True, relu="leaky"):
+    def _block(self, x, name, features, norm=True, relu="leaky",
+               dropout=True):
         x = self._conv(x, name, features, self.kernel_size)
         if norm and self.do_instancenorm:
             x = self._instance_norm(x)
-        return (nn.leaky_relu(x, negative_slope=0.01) if relu == "leaky"
-                else nn.relu(x))
+        x = (nn.leaky_relu(x, negative_slope=0.01) if relu == "leaky"
+             else nn.relu(x))
+        # reference placement: dropout after every contract/expand block,
+        # once at the END of the center sequential, never after upscales
+        # (unet3D_module.py:97-146, 212-268)
+        if self.do_dropout and dropout:
+            x = nn.Dropout(rate=0.5)(x, deterministic=False)
+        return x
 
     def _concat_members(self, a, b):
         """Channel concat keeping member groups contiguous."""
@@ -115,12 +130,16 @@ class EnsembleUNet3D(nn.Module):
                               "contr_4_2", f * 8)
         p4 = pool(contr_4)
 
-        c = self._block(p4, "center_conv1", f * 16, norm=False, relu="relu")
-        c = self._block(c, "center_conv2", f * 16, norm=False, relu="relu")
+        c = self._block(p4, "center_conv1", f * 16, norm=False, relu="relu",
+                        dropout=False)
+        c = self._block(c, "center_conv2", f * 16, norm=False, relu="relu",
+                        dropout=False)
         c = GroupedConvTransposeK2S2(f * 8, self.members, name="center_up",
                                      dtype=self.dtype,
                                      param_dtype=self.param_dtype)(c)
         center = nn.relu(c)
+        if self.do_dropout:
+            center = nn.Dropout(rate=0.5)(center, deterministic=False)
 
         e = self._concat_members(center, contr_4)
         e = self._block(self._block(e, "expand_4_1", f * 8, norm=False),
@@ -192,16 +211,22 @@ def group_member_variables(member_variables: List[Dict],
 
 def make_grouped_ensemble_predictor(num_classes: int, members: int,
                                     initial_filter_size: int = 8,
-                                    dtype=jnp.float32):
+                                    dtype=jnp.float32,
+                                    do_dropout: bool = False):
     """(grouped_variables, x, rng) -> (M, B, *sp, C) softmax stack, same
-    contract as values_tpu.inference.predictors factories."""
+    contract as values_tpu.inference.predictors factories.
+
+    With ``do_dropout`` the M "members" are one model's weights tiled M
+    times and the grouped dropout mask realizes M independent MC passes.
+    """
     model = EnsembleUNet3D(num_classes=num_classes, members=members,
                            initial_filter_size=initial_filter_size,
-                           dtype=dtype)
+                           dtype=dtype, do_dropout=do_dropout)
 
     def predict(grouped_variables, x, rng):
-        out = model.apply(grouped_variables, x)  # (B, D, H, W, M, C)
-        probs = jax.nn.softmax(out, axis=-1)
+        kwargs = {"rngs": {"dropout": rng}} if do_dropout else {}
+        out = model.apply(grouped_variables, x, **kwargs)
+        probs = jax.nn.softmax(out, axis=-1)  # (B, D, H, W, M, C)
         return jnp.moveaxis(probs, -2, 0), None  # (M, B, D, H, W, C)
 
     return model, predict
