@@ -177,14 +177,16 @@ def test_engine_grouped_mc_dropout(rng):
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, P, P, P, 1)))
     vol = rng.rand(P, P, P).astype(np.float32)
+    S = 24
     grouped = SlidingWindowEngine(model, [variables], mode="default",
-                                  n_pred=6, patch_size=P, seed=1,
+                                  n_pred=S, patch_size=P, seed=1,
                                   use_grouped_ensemble=True)
     s_grouped, *_ = grouped.run_volume(vol)
-    assert s_grouped.shape[0] == 6
+    assert s_grouped.shape[0] == S
     assert not np.allclose(s_grouped[0], s_grouped[1])
     vmapped = SlidingWindowEngine(model, [variables], mode="default",
-                                  n_pred=6, patch_size=P, seed=1)
+                                  n_pred=S, patch_size=P, seed=1)
     s_vmapped, *_ = vmapped.run_volume(vol)
     # MC mean prediction statistics agree across implementations
-    assert np.abs(s_grouped.mean(0) - s_vmapped.mean(0)).mean() < 0.05
+    # (tolerance set by MC noise ~ sigma/sqrt(S))
+    assert np.abs(s_grouped.mean(0) - s_vmapped.mean(0)).mean() < 0.04
