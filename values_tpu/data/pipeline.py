@@ -88,16 +88,22 @@ class NumpyBatchLoader:
     @staticmethod
     def _augment(image: np.ndarray, label: Optional[np.ndarray],
                  rs: np.random.RandomState):
-        for axis in range(3):
-            if rs.uniform() < 0.5:
-                image = np.flip(image, axis=axis)
-                if label is not None:
-                    label = np.flip(label, axis=axis)
+        """Mirror + Gaussian noise; the heavy array work runs in the
+        native C++ ops when available (values_tpu.native), the decision
+        RNG stays in numpy for reproducibility of the sampling contract."""
+        from .. import native
+        flips = sum((1 << axis) for axis in range(3)
+                    if rs.uniform() < 0.5)
         scale = rs.uniform(0.0, 0.1)
-        image = image + rs.normal(0.0, scale, size=image.shape).astype(
-            np.float32)
-        return np.ascontiguousarray(image), (
-            np.ascontiguousarray(label) if label is not None else None)
+        image = np.ascontiguousarray(image, dtype=np.float32)
+        if flips:
+            image = native.mirror3d(image, flips)
+            if label is not None:
+                label = native.mirror3d(
+                    np.ascontiguousarray(label, dtype=np.int32), flips)
+        image = native.add_gaussian_noise(
+            image, float(scale), int(rs.randint(0, 2 ** 31)))
+        return image, label
 
     # -- epoch iteration ----------------------------------------------
     def _epoch_batches(self) -> Iterator[Dict]:
