@@ -190,3 +190,15 @@ def test_engine_grouped_mc_dropout(rng):
     # MC mean prediction statistics agree across implementations
     # (tolerance set by MC noise ~ sigma/sqrt(S))
     assert np.abs(s_grouped.mean(0) - s_vmapped.mean(0)).mean() < 0.04
+
+
+def test_engine_grouped_tta_matches_vmapped(rng, small_model):
+    model, variables = small_model
+    vol = rng.rand(P, P, P).astype(np.float32)
+    a = SlidingWindowEngine(model, [variables], mode="tta", patch_size=P,
+                            seed=3).run_volume(vol)[0]
+    b = SlidingWindowEngine(model, [variables], mode="tta", patch_size=P,
+                            seed=3, use_grouped_ensemble=True).run_volume(
+        vol)[0]
+    assert a.shape == b.shape
+    np.testing.assert_allclose(b, a, atol=5e-3)

@@ -88,3 +88,31 @@ def test_grouped_mc_dropout_statistics(rng):
     # dropout masks per member group)
     assert not np.allclose(np.asarray(got_stack)[0],
                            np.asarray(got_stack)[1])
+
+
+def test_grouped_tta_matches_vmapped(rng, members):
+    """Grouped TTA must reproduce the reference TTA loop's outputs given
+    the same noise realization."""
+    from values_tpu.models.ensemble_unet3d import (
+        group_member_variables, make_grouped_tta_predictor)
+    from values_tpu.inference.predictors import make_tta_predictor
+
+    model, member_vars = members
+    x = jnp.asarray(rng.rand(1, P, P, P, 1).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+
+    ref_fn = make_tta_predictor(model, M)
+    ref_stack, _ = jax.jit(ref_fn)(stack_params(member_vars), x, key)
+
+    tiled = []
+    for v in member_vars:
+        tiled.extend([v] * 16)
+    gvars = group_member_variables(tiled)
+    _, gfn = make_grouped_tta_predictor(2, M, 2)
+    got_stack, _ = jax.jit(gfn)(gvars, x, key)
+
+    assert got_stack.shape == ref_stack.shape == (M * 16, 1, P, P, P, 2)
+    np.testing.assert_allclose(np.asarray(got_stack),
+                               np.asarray(ref_stack), atol=5e-3)
+    mad = np.abs(np.asarray(got_stack) - np.asarray(ref_stack)).mean()
+    assert mad < 3e-4

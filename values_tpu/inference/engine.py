@@ -64,16 +64,25 @@ class SlidingWindowEngine:
             # weights n_pred times — the grouped dropout mask realizes the
             # independent MC passes.
             from ..models.ensemble_unet3d import (
-                group_member_variables, make_grouped_ensemble_predictor)
-            mc_dropout = bool(getattr(model, "do_dropout", False))
-            member_list = (list(variables_list) * n_pred if mc_dropout
-                           else list(variables_list))
-            groups = len(member_list)
+                group_member_variables, make_grouped_ensemble_predictor,
+                make_grouped_tta_predictor)
+            if mode == "tta":
+                member_list = []
+                for v in variables_list:
+                    member_list.extend([v] * 16)
+                _, grouped = make_grouped_tta_predictor(
+                    model.num_classes, self.n_models,
+                    model.initial_filter_size, dtype=dtype)
+            else:
+                mc_dropout = bool(getattr(model, "do_dropout", False))
+                member_list = (list(variables_list) * n_pred if mc_dropout
+                               else list(variables_list))
+                _, grouped = make_grouped_ensemble_predictor(
+                    model.num_classes, len(member_list),
+                    model.initial_filter_size, dtype=dtype,
+                    do_dropout=mc_dropout)
             self.stacked_variables = jax.tree_util.tree_map(
                 jnp.asarray, group_member_variables(member_list))
-            _, grouped = make_grouped_ensemble_predictor(
-                model.num_classes, groups, model.initial_filter_size,
-                dtype=dtype, do_dropout=mc_dropout)
 
             def predictor(variables, x, rng):
                 stack, sigma = grouped(variables, x, rng)
@@ -89,8 +98,13 @@ class SlidingWindowEngine:
 
     def _grouped_eligible(self, model: Any) -> bool:
         from ..models.unet3d import UNet3D
-        if self.mode != "default" or type(model) is not UNet3D or getattr(
-                model, "aleatoric_loss", False):
+        if type(model) is not UNet3D or getattr(model, "aleatoric_loss",
+                                                False):
+            return False
+        if self.mode == "tta":
+            # TTA variants as channel groups (16 per member)
+            return not getattr(model, "do_dropout", False)
+        if self.mode != "default":
             return False
         if getattr(model, "do_dropout", False):
             # MC-dropout: one model, n_pred grouped passes

@@ -230,3 +230,57 @@ def make_grouped_ensemble_predictor(num_classes: int, members: int,
         return jnp.moveaxis(probs, -2, 0), None  # (M, B, D, H, W, C)
 
     return model, predict
+
+
+def make_grouped_tta_predictor(num_classes: int, members: int,
+                               initial_filter_size: int = 8,
+                               dtype=jnp.float32):
+    """TTA as grouped convolutions: the 16 clean/noise x flip variants (per
+    member) become channel groups, filling the MXU lanes (16 x 8 = 128
+    channels at level 1 for the shipped UNet). Same variant set and
+    ordering as the reference loop (test_3D.py:427-456): [clean,
+    clean-flips..., noise, noise-flips...] per member; outputs un-flipped
+    before stacking.
+
+    Returns (model, predict) with predict(grouped_tta_variables, x, rng) ->
+    ((members * 16, B, *sp, C), None). ``grouped_tta_variables`` must tile
+    each member's weights 16x (group_member_variables(sum([[v]*16 for v in
+    members], []))).
+    """
+    from ..inference.predictors import FLIP_COMBOS
+
+    groups = members * 16
+    model = EnsembleUNet3D(num_classes=num_classes, members=groups,
+                           initial_filter_size=initial_filter_size,
+                           dtype=dtype)
+
+    def predict(grouped_variables, x, rng):
+        var_key, noise_key = jax.random.split(rng)
+        # batchgenerators' "variance"-as-scale quirk (see predictors.py)
+        variance = jax.random.uniform(var_key, (), minval=0.0, maxval=0.1)
+        noise = jax.random.normal(noise_key, x.shape, dtype=x.dtype)
+        x_noise = x + noise * variance
+
+        def variants(inp):  # 8 spatially transformed copies
+            outs = [inp]
+            for axes in FLIP_COMBOS:
+                outs.append(jnp.flip(inp, axis=axes))
+            return outs
+
+        per_member = variants(x) + variants(x_noise)   # 16 x (B,*sp,1)
+        stacked_in = jnp.concatenate(per_member * members, axis=-1)
+        out = model.apply(grouped_variables, stacked_in)
+        probs = jax.nn.softmax(out, axis=-1)           # (B,*sp,groups,C)
+        probs = jnp.moveaxis(probs, -2, 0)             # (groups, B, *sp, C)
+        unflipped = []
+        for m in range(members):
+            for half in range(2):
+                base = m * 16 + half * 8
+                unflipped.append(probs[base])
+                for fi, axes in enumerate(FLIP_COMBOS):
+                    # spatial axes shift by one (leading batch axis here)
+                    unflipped.append(jnp.flip(probs[base + 1 + fi],
+                                              axis=axes))
+        return jnp.stack(unflipped), None
+
+    return model, predict
