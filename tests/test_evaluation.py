@@ -295,3 +295,87 @@ def test_ood_toy_rule():
     assert AUROC.is_ood_toy("0005.npy") is True
     assert AUROC.is_ood_toy("0021.npy") is False
     assert AUROC.is_ood_toy("0100.npy") is False
+
+
+def test_eval_experiments_driver(results_tree):
+    """EvalExperiments through the composed-config path: version grid,
+    accumulated threshold tasks, aggregation, downstream metrics."""
+    from values_tpu.config import make_config
+    from values_tpu.evaluation.eval_experiments import EvalExperiments
+
+    cfg = make_config({
+        "base_path": str(results_tree),
+        "experiments": [{
+            "iter_params": {"pred_model": ["Ensemble", "Softmax"],
+                            "seed": ["123"]},
+            "case": 1, "epochs": 2, "image_ending": ".nii.gz",
+            "unc_ending": ".nii.gz", "n_reference_segs": 2,
+            "naming_scheme_pred_model": "{pred_model}-Case-{case}",
+            "prediction_models": {
+                "Ensemble": {
+                    "naming_scheme_version": "epochs{epochs}_seed{seed}",
+                    "unc_types": ["predictive_uncertainty",
+                                  "aleatoric_uncertainty",
+                                  "epistemic_uncertainty"],
+                    "aggregations": ["patch_level", "threshold"]},
+                "Softmax": {
+                    "naming_scheme_version": "epochs{epochs}_seed{seed}",
+                    "unc_types": ["predictive_uncertainty"],
+                    "aggregations": ["patch_level", "threshold"]},
+            },
+        }],
+        "tasks": ["threshold", "aggregation", "failure_detection"],
+        "task_params": {
+            "threshold": [
+                {"datasets": ["val"], "accumulated": True,
+                 "function": {"_target_":
+                              "values_tpu.evaluation.find_threshold."
+                              "get_foreground_quantile"},
+                 "postprocess_function": {
+                     "_target_": "values_tpu.evaluation.find_threshold."
+                                 "save_foreground_quantiles",
+                     "save_path": str(results_tree)}},
+                {"datasets": ["val"], "accumulated": True,
+                 "function": {"_target_":
+                              "values_tpu.evaluation.find_threshold."
+                              "threshold_images_paths"},
+                 "postprocess_function": {
+                     "_target_": "values_tpu.evaluation.find_threshold."
+                                 "find_threshold",
+                     "quantile_path": str(results_tree),
+                     "save_path": str(results_tree)}},
+            ],
+            "aggregation": {
+                "datasets": ["id", "ood"],
+                "function": {
+                    "_target_": "values_tpu.evaluation."
+                                "aggregate_uncertainties."
+                                "aggregate_uncertainties",
+                    "aggregations": {
+                        "patch_level": {
+                            "_target_": "values_tpu.evaluation."
+                                        "aggregate_uncertainties."
+                                        "patch_level_aggregation",
+                            "patch_size": 4},
+                        "threshold": {
+                            "_target_": "values_tpu.evaluation."
+                                        "aggregate_uncertainties."
+                                        "threshold_aggregation",
+                            "threshold_path": str(
+                                results_tree / "threshold_analysis.json")},
+                    }}},
+            "failure_detection": {
+                "datasets": ["id", "ood"],
+                "function": {"_target_":
+                             "values_tpu.evaluation.metrics.aurc.main"}},
+        },
+    })
+    EvalExperiments(cfg).analyse()
+    assert (results_tree / "threshold_analysis.json").exists()
+    for model in ("Ensemble", "Softmax"):
+        base = (results_tree / f"{model}-Case-1" / "test_results"
+                / "epochs2_seed123")
+        for split in ("id", "ood"):
+            assert (base / split
+                    / "aggregated_predictive_uncertainty.json").exists()
+            assert (base / split / "failure_detection.json").exists()

@@ -142,3 +142,23 @@ def test_fit_resume(toy_dataset, tmp_path):
     payload2 = load_checkpoint(ckpt2)
     assert payload2["epoch"] == 1
     assert payload2["global_step"] > payload1["global_step"]
+
+
+@pytest.mark.slow
+def test_aleatoric_train_and_inference(toy_dataset, tmp_path):
+    """Aleatoric logit-sampling path end to end: train with
+    aleatoric_loss=True, infer in 'aleatoric' mode, sigma volumes saved."""
+    from values_tpu.inference import test_3d
+
+    cfg = _tiny_cfg(toy_dataset, tmp_path, max_epochs=1,
+                    **{"+aleatoric_loss": "true",
+                       "+n_aleatoric_samples": 3})
+    ckpt = fit(cfg)
+    args = test_3d.test_cli([
+        "--checkpoint_paths", ckpt, "--test_split", "test",
+        "--n_pred", "3", "--save_dir", str(tmp_path / "res")])
+    test_3d.run_test(args)
+    base = (tmp_path / "res" / "Softmax-Case-1" / "test_results" / "0"
+            / "test")
+    assert (base / "sigma" / "0000_01.nii.gz").exists()
+    assert (base / "pred_entropy" / "0000.nii.gz").exists()
