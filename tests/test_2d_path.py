@@ -198,3 +198,32 @@ def test_tester_2d_end_to_end(gta_tree, tmp_path):
     assert (base / "aleatoric_uncertainty" / f"{image_id}.tif").exists()
     # reference masks got 3 switched variants
     assert tester is not None
+
+
+def test_tester_2d_tta_mode(gta_tree, tmp_path):
+    """TTA 2D path: 4 dataset-provided variants, hflip outputs un-flipped."""
+    from values_tpu.inference import test_2d
+    from values_tpu.models.hrnet import HighResolutionNet
+    from values_tpu.training.checkpoint import save_checkpoint
+    from tests.test_hrnet import small_cfg
+
+    hparams = _hrnet_hparams(gta_tree, tmp_path)
+    model = HighResolutionNet(cfg=small_cfg(num_classes=NUM_CLASSES))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, H, W, 3)))
+    ckpt = tmp_path / "hrnet_tta.ckpt"
+    save_checkpoint(str(ckpt), variables, hparams)
+
+    args = test_2d.test_cli([
+        "--checkpoint_paths", str(ckpt), "--test_split", "id",
+        "-tta", "--n_reference_samples", "2",
+    ])
+    test_2d.run_test(args)
+    base = (tmp_path / "results" / "Softmax-GTA" / "test_results" / "0"
+            / "id")
+    metrics = json.loads((base / "metrics.json").read_text())
+    image_id = [k for k in metrics if k != "mean"][0]
+    # 4 TTA variants -> mean + 4 prediction PNGs and full uncertainty set
+    assert (base / "pred_seg" / f"{image_id}_mean.png").exists()
+    assert (base / "pred_seg" / f"{image_id}_04.png").exists()
+    assert (base / "epistemic_uncertainty" / f"{image_id}.tif").exists()

@@ -162,3 +162,24 @@ def test_aleatoric_train_and_inference(toy_dataset, tmp_path):
             / "test")
     assert (base / "sigma" / "0000_01.nii.gz").exists()
     assert (base / "pred_entropy" / "0000.nii.gz").exists()
+
+
+@pytest.mark.slow
+def test_ssn_inference_from_checkpoint(toy_dataset, tmp_path):
+    """SSN engine mode through the 3D CLI: distribution sampling, swapped
+    aleatoric/epistemic labeling."""
+    from values_tpu.inference import test_3d
+
+    cfg = _tiny_cfg(toy_dataset, tmp_path, config_name="ssn_config",
+                    pretrain_epochs=1, max_epochs=1, n_aleatoric_samples=2)
+    ckpt = fit(cfg)
+    args = test_3d.test_cli([
+        "--checkpoint_paths", ckpt, "--test_split", "test",
+        "--n_pred", "4", "--save_dir", str(tmp_path / "res")])
+    carrier = test_3d.run_test(args)
+    base = (tmp_path / "res" / "SSN-Case-1" / "test_results" / "0"
+            / "test")
+    assert (base / "pred_seg" / "0000_04.nii.gz").exists()
+    assert (base / "aleatoric_uncertainty" / "0000.nii.gz").exists()
+    first = next(iter(carrier.data.values()))
+    assert first["softmax_pred"].shape[0] == 4

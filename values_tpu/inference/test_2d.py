@@ -127,13 +127,18 @@ class Tester2D:
                     probs = jax.nn.softmax(logits, axis=2)
                     preds.extend(np.asarray(probs))
                 elif self.tta:
-                    for index, image in enumerate(batch["data"]):
-                        out = self._forward(model, variables, image)
+                    # batch["data"]: B items x 4 variants; the reference
+                    # iterates VARIANTS (each a full batch) and un-flips
+                    # hflip outputs along W (test_2D.py:296-311)
+                    per_item = batch["data"]
+                    transforms = batch["transforms"][0]
+                    for v, names in enumerate(transforms):
+                        x = np.stack([item[v] for item in per_item])
+                        out = self._forward(model, variables, x)
                         out_cf = np.moveaxis(np.asarray(out), -1, 1)
-                        flips = ["HorizontalFlip" in t
-                                 for t in batch["transforms"][index]]
-                        if any(flips):
-                            out_cf = out_cf[..., ::-1]
+                        if "HorizontalFlip" in names:
+                            out_cf = np.ascontiguousarray(
+                                out_cf[..., ::-1])
                         preds.append(out_cf)
                 else:
                     for _ in range(self.n_pred):
