@@ -21,11 +21,11 @@ from __future__ import annotations
 import os
 import re
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Sequence, Union
+from typing import List, Optional, Sequence, Union
 
 import yaml
 
-from .node import Config, make_config, merge, resolve, _parse_scalar, _wrap
+from .node import Config, make_config, merge, resolve
 
 _PACKAGE_RE = re.compile(r"^#\s*@package\s+(\S+)\s*$", re.MULTILINE)
 

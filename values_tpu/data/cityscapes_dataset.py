@@ -13,7 +13,7 @@ from __future__ import annotations
 import fnmatch
 import os
 import pickle
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

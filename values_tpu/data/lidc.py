@@ -23,7 +23,7 @@ import os
 import pickle
 import random
 from pathlib import Path
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

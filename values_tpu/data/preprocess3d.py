@@ -15,8 +15,7 @@ datasets/preprocess_datasets_3d.py:66-168):
 from __future__ import annotations
 
 import os
-from pathlib import Path
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 import argparse
 from itertools import product
 from pathlib import Path
-from typing import Any, Dict, List
+from typing import Dict, List
 
 from ..config import Config, compose, instantiate, make_config
 from .experiment_dataloader import ExperimentDataloader

@@ -18,7 +18,7 @@ from __future__ import annotations
 import json
 from itertools import groupby, product
 from pathlib import Path
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 import pandas as pd

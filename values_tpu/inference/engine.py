@@ -14,15 +14,14 @@ so HBM use is bounded by S * volume + S * window_batch * patch^3 activations.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.window import (count_map, enumerate_window_starts,
-                          extract_windows, stitch_windows)
+from ..ops.window import (enumerate_window_starts, extract_windows,
+                          stitch_windows)
 from .carrier import VolumeCarrier
 from .predictors import make_predictor, stack_params
 

@@ -25,7 +25,6 @@ axis with pjit for multi-chip ensembles (SURVEY.md §2.7).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, List, Optional, Sequence
 
 import jax

@@ -24,7 +24,7 @@ torch weights load through values_tpu.models.torch_import.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List
 
 import flax.linen as nn
 import jax

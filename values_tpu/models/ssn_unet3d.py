@@ -25,7 +25,7 @@ module boundary stay channels-last.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -11,8 +11,7 @@ device path of values_tpu.evaluation.aggregate_uncertainties.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp

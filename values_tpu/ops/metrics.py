@@ -20,7 +20,6 @@ All functions are pure jnp and jittable with static ``num_classes``.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Optional
 
 import jax

@@ -12,10 +12,9 @@ test_3D.py:635-668). Two formats load transparently:
 """
 from __future__ import annotations
 
-import os
 import pickle
 from pathlib import Path
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import numpy as np

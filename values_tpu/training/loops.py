@@ -20,7 +20,7 @@ from ..config import Config, instantiate
 from ..core.seed import set_seed
 from . import optim
 from .checkpoint import save_checkpoint
-from .experiment import Experiment, TrainState
+from .experiment import Experiment
 from .tb_logging import TensorBoardLogger
 
 
@@ -38,7 +38,6 @@ def _log_val_image(logger, experiment, state, batch, rng,
     (lightning_experiment.py:332-372). Best-effort: failures never break
     training."""
     try:
-        import jax as _jax
         data = jnp.asarray(batch["data"][:1])
         variables = {"params": state.params, **(state.model_state or {})}
         out = experiment.model.apply(variables, data) \

@@ -10,7 +10,7 @@ evaluation layer's naming schemes keep working.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 
