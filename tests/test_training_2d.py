@@ -73,3 +73,75 @@ def test_hrnet_ssn_train_step(rng):
     _, loss = exp.train_step(state, batch, jax.random.PRNGKey(1),
                              False)
     assert np.isfinite(float(loss))
+
+
+@pytest.mark.slow
+def test_fit_2d_end_to_end(tmp_path):
+    """fit() through the 2D path: BaseDataModule + augmentation pipeline +
+    HRNet + SGD/polynomial LR, checkpoint usable by the 2D tester."""
+    import pickle
+    import numpy as np
+    from values_tpu.config import make_config
+    from values_tpu.training.loops import fit
+    from tests.test_2d_path import AUG_CONFIG, H as H2, W as W2
+
+    rng = np.random.RandomState(0)
+    root = tmp_path / "GTA"
+    names = {"gta": [f"{i:05d}.npy" for i in range(4)],
+             "cs": [f"city_{i:03d}.npy" for i in range(2)]}
+    for ds, sub in (("gta", "OriginalData"),
+                    ("cs", "CityScapesOriginalData")):
+        img_dir = root / sub / "preprocessed" / "images"
+        lbl_dir = root / sub / "preprocessed" / "labels"
+        img_dir.mkdir(parents=True)
+        lbl_dir.mkdir(parents=True)
+        for name in names[ds]:
+            np.save(img_dir / name,
+                    (rng.rand(H2, W2, 3) * 255).astype(np.uint8))
+            np.save(lbl_dir / name,
+                    rng.randint(0, 5, size=(H2, W2)).astype(np.int64))
+    splits = [{
+        "train": [(n, "gta") for n in names["gta"][:2]],
+        "val": [(names["gta"][2], "gta")],
+        "id_test": [(names["gta"][3], "gta")],
+        "ood_test": [(names["cs"][0], "cs")],
+        "id_unlabeled_pool": [],
+        "ood_unlabeled_pool": [(names["cs"][1], "cs")],
+    }]
+    splits_dir = root / "splits" / "firstCycle"
+    splits_dir.mkdir(parents=True)
+    with open(splits_dir / "splits.pkl", "wb") as f:
+        pickle.dump(splits, f)
+
+    aug = {k: v for k, v in AUG_CONFIG.items()}
+    aug["height"], aug["width"] = H2, W2
+    cfg = make_config({
+        "exp_name": "Softmax-GTA-fit", "version": 0, "seed": 1,
+        "save_dir": str(tmp_path / "exp"),
+        "data_input_dir": str(root),
+        "max_epochs": 2, "batch_size": 2,
+        "learning_rate": 0.01, "weight_decay": 0.0005,
+        "MODEL": small_cfg(num_classes=5)["MODEL"],
+        "model": {"_target_": "values_tpu.models.hrnet.get_seg_model",
+                  "cfg": small_cfg(num_classes=5)},
+        "optimizer": {"_target_": "torch.optim.SGD", "lr": 0.01,
+                      "momentum": 0.9, "weight_decay": 0.0005},
+        "lr_scheduler": {"_target_":
+                         "torch.optim.lr_scheduler.PolynomialLR",
+                         "power": 0.9},
+        "datamodule": {
+            "_target_": "values_tpu.data.base_datamodule.BaseDataModule",
+            "num_classes": 5, "ignore_index": 255, "num_workers": 0,
+            "batch_size": 2, "val_batch_size": 1, "data_fold_id": 0,
+            "dataset": {
+                "_target_":
+                    "values_tpu.data.cityscapes_dataset.CityscapesDataset",
+                "splits_path": str(splits_dir / "splits.pkl")},
+        },
+        "AUGMENTATIONS": aug,
+    })
+    ckpt = fit(cfg)
+    from values_tpu.training.checkpoint import load_checkpoint
+    payload = load_checkpoint(ckpt)
+    assert "batch_stats" in payload["state_dict"]
+    assert payload["epoch"] == 1

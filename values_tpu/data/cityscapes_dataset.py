@@ -90,8 +90,11 @@ class CityscapesDataset:
         self.val_keys = fold["val"]
         self.id_test_keys = fold["id_test"]
         self.ood_test_keys = fold["ood_test"]
-        self.unlabeled_keys = np.concatenate(
-            (fold["id_unlabeled_pool"], fold["ood_unlabeled_pool"]))
+        pools = [np.asarray(fold["id_unlabeled_pool"]),
+                 np.asarray(fold["ood_unlabeled_pool"])]
+        pools = [pool for pool in pools if pool.size]
+        self.unlabeled_keys = (np.concatenate(pools) if pools
+                               else np.asarray([]))
 
 
 def get_data_samples(base_dir: str, pattern: str = "*.npy",
