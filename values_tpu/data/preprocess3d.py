@@ -98,3 +98,37 @@ def create_kfold_splits(output_dir: str, image_dir: str, test_dir: str,
         })
     with open(os.path.join(output_dir, "splits.pkl"), "wb") as f:
         pickle.dump(splits, f)
+
+
+def main(argv=None) -> None:
+    """CLI: shared 3D preprocessing (reference:
+    datasets/preprocess_datasets_3d.py) — z-score + pad nii.gz -> npy for
+    the toy (imagesTr/Ts) or LIDC (flat images/labels, _mask suffix)
+    layouts, plus KFold split creation."""
+    import argparse
+    parser = argparse.ArgumentParser(description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+    prep = sub.add_parser("preprocess")
+    prep.add_argument("--root_dir", required=True)
+    prep.add_argument("--num_raters", type=int, default=1)
+    prep.add_argument("--patch_size", type=int, default=64)
+    prep.add_argument("--patch_overlap", type=float, default=1.0)
+    prep.add_argument("--label_suffix", default="",
+                      help="e.g. _mask for the LIDC naming")
+    spl = sub.add_parser("splits")
+    spl.add_argument("--output_dir", required=True)
+    spl.add_argument("--image_dir", required=True)
+    spl.add_argument("--test_dir", required=True)
+    spl.add_argument("--seed", type=int, default=123)
+    spl.add_argument("--n_splits", type=int, default=5)
+    args = parser.parse_args(argv)
+    if args.command == "preprocess":
+        preprocess_dataset(args.root_dir, args.num_raters, args.patch_size,
+                           args.patch_overlap, label_suffix=args.label_suffix)
+    else:
+        create_kfold_splits(args.output_dir, args.image_dir, args.test_dir,
+                            seed=args.seed, n_splits=args.n_splits)
+
+
+if __name__ == "__main__":
+    main()
