@@ -75,3 +75,60 @@ def test_reference_lightning_ckpt_loads(tmp_path, rng):
     np.testing.assert_allclose(
         np.transpose(np.asarray(out), (0, 4, 1, 2, 3)),
         t_out.numpy(), atol=2e-4)
+
+
+def test_export_roundtrip_to_reference_format(tmp_path, rng):
+    """flax -> torch .ckpt -> flax roundtrip, and the exported state_dict
+    loads into the reference torch module with matching forwards."""
+    import os
+    import importlib.util, sys
+    import torch
+    from values_tpu.models.torch_import import (export_reference_checkpoint,
+                                                strip_model_prefix,
+                                                unet3d_params_from_torch)
+
+    model = UNet3D(num_classes=2, initial_filter_size=2)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 16, 16, 16, 1)))
+    # add the AE head so the exported dict covers the full reference
+    # key set it can produce (optional in flax, lazily created)
+    hparams = {"exp_name": "X", "seed": 1, "version": 0,
+               "model": {"_target_":
+                         "uncertainty_modeling.models.unet3D_module.UNet3D",
+                         "num_classes": 2, "initial_filter_size": 2},
+               "datamodule": {"dataset_name": "Case_1", "num_raters": 3,
+                              "data_fold_id": 0, "patch_size": 16,
+                              "patch_overlap": 1},
+               "save_dir": "/tmp", "data_input_dir": "/tmp"}
+    path = tmp_path / "export.ckpt"
+    export_reference_checkpoint(str(path), variables, hparams)
+
+    # roundtrip back through our importer
+    hp, back = load_any_checkpoint(str(path))
+    np.testing.assert_allclose(
+        np.asarray(back["params"]["contr_1_1"]["conv"]["kernel"]),
+        np.asarray(variables["params"]["contr_1_1"]["conv"]["kernel"]),
+        atol=0)
+
+    ref = "/root/reference/uncertainty_modeling/models/unet3D_module.py"
+    if not os.path.exists(ref):
+        pytest.skip("reference mount not available")
+    spec = importlib.util.spec_from_file_location("ref_unet3d_exp", ref)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_unet3d_exp"] = mod
+    spec.loader.exec_module(mod)
+    tm = mod.UNet3D(num_classes=2, initial_filter_size=2)
+    ckpt = torch.load(str(path), weights_only=False)
+    missing = tm.load_state_dict(strip_model_prefix(ckpt["state_dict"]),
+                                 strict=False)
+    # only the lazily-created flax heads may be missing
+    assert all("reconstruction" in k or "aleatoric" in k
+               for k in missing.missing_keys)
+    x = rng.rand(1, 1, 16, 16, 16).astype(np.float32)
+    with torch.no_grad():
+        t_out = tm.eval()(torch.tensor(x))
+    j_out = jax.jit(model.apply)(
+        variables, jnp.asarray(np.transpose(x, (0, 2, 3, 4, 1))))
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(j_out), (0, 4, 1, 2, 3)), t_out.numpy(),
+        atol=2e-4)

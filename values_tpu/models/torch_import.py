@@ -170,6 +170,57 @@ def merge_pretrained_hrnet(variables: Dict[str, Any],
     return merged
 
 
+def unet3d_params_to_torch(variables: Mapping[str, Any]) -> Dict[str, Any]:
+    """Reverse conversion: flax UNet3D variables -> a reference-layout torch
+    state_dict (``model.``-prefixed keys, torch tensor layouts). Lets users
+    migrate trained values_tpu checkpoints back into the reference stack."""
+    import torch
+    params = variables["params"] if "params" in variables else variables
+    reverse_center = {v: k for k, v in _CENTER_MAP.items()}
+    state: Dict[str, Any] = {}
+
+    def to_tensor(arr):
+        return torch.tensor(np.asarray(arr))
+
+    for module, leaves in params.items():
+        if "conv" in leaves:  # contr_*/expand_* blocks
+            kernel = np.transpose(np.asarray(leaves["conv"]["kernel"]),
+                                  (4, 3, 0, 1, 2))
+            state[f"model.{module}.0.weight"] = to_tensor(kernel)
+            state[f"model.{module}.0.bias"] = to_tensor(
+                leaves["conv"]["bias"])
+        elif module in reverse_center:
+            idx = reverse_center[module]
+            kernel = np.asarray(leaves["kernel"])
+            if module == "center_up":
+                kernel = np.transpose(kernel, (3, 4, 0, 1, 2))
+            else:
+                kernel = np.transpose(kernel, (4, 3, 0, 1, 2))
+            state[f"model.center.{idx}.weight"] = to_tensor(kernel)
+            state[f"model.center.{idx}.bias"] = to_tensor(leaves["bias"])
+        elif module.startswith("upscale"):
+            kernel = np.transpose(np.asarray(leaves["kernel"]),
+                                  (3, 4, 0, 1, 2))
+            state[f"model.{module}.weight"] = to_tensor(kernel)
+            state[f"model.{module}.bias"] = to_tensor(leaves["bias"])
+        else:  # 1x1x1 head convs (final, SSN heads, AE head)
+            kernel = np.transpose(np.asarray(leaves["kernel"]),
+                                  (4, 3, 0, 1, 2))
+            state[f"model.{module}.weight"] = to_tensor(kernel)
+            state[f"model.{module}.bias"] = to_tensor(leaves["bias"])
+    return state
+
+
+def export_reference_checkpoint(path: str, variables: Mapping[str, Any],
+                                hyper_parameters: Dict[str, Any]) -> None:
+    """Write a reference-compatible Lightning-style ``.ckpt``."""
+    import torch
+    torch.save({
+        "state_dict": unet3d_params_to_torch(variables),
+        "hyper_parameters": hyper_parameters,
+    }, path)
+
+
 def load_reference_checkpoint(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Read a reference ``.ckpt``; returns (hyper_parameters, variables).
     The importer is picked from the checkpoint's model target (UNet3D
