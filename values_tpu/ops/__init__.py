@@ -1,3 +1,3 @@
-from . import losses, metrics, uncertainty
+from . import aggregation, losses, metrics, uncertainty, window
 
-__all__ = ["losses", "metrics", "uncertainty"]
+__all__ = ["aggregation", "losses", "metrics", "uncertainty", "window"]
