@@ -152,22 +152,46 @@ def test_run_samples_and_carrier_outputs(rng, small_model, tmp_path):
 
 def test_window_chunking_equals_full_batch(rng, small_model):
     """Chunked window processing (window_batch) must equal the one-shot
-    result, including padded-duplicate count handling."""
+    result in RAW sums and counts: the reference's uncertainty path
+    consumes unnormalized softmax sums (test_3D.py:486-534), so a ragged
+    last chunk must run unpadded — a duplicated pad window would shift
+    entropies by -log(k) (ADVICE r1, high)."""
     model, variables = small_model
     vol = rng.rand(P, 3 * P, P).astype(np.float32)  # 3 windows
     full = SlidingWindowEngine(model, [variables], patch_size=P,
                                window_batch=8)
     chunked = SlidingWindowEngine(model, [variables], patch_size=P,
-                                  window_batch=2)  # 2 + padded chunk
+                                  window_batch=2)  # 2 + ragged chunk of 1
     s_full, c_full, d_full, *_ = full.run_volume(vol)
     s_chunk, c_chunk, d_chunk, *_ = chunked.run_volume(vol)
-    norm_full = s_full / np.clip(c_full, 1, None)
-    norm_chunk = s_chunk / np.clip(c_chunk, 1, None)
-    np.testing.assert_allclose(norm_chunk, norm_full, atol=2e-5)
-    np.testing.assert_allclose(d_chunk / np.clip(c_chunk, 1, None),
-                               d_full / np.clip(c_full, 1, None), atol=1e-6)
-    # duplicated pad window raises the count in its region
-    assert c_chunk.max() == 2
+    np.testing.assert_allclose(s_chunk, s_full, atol=2e-5)
+    np.testing.assert_array_equal(c_chunk, c_full)
+    np.testing.assert_allclose(d_chunk, d_full, atol=1e-6)
+    # no padded duplicates: every voxel covered exactly once here
+    assert c_chunk.max() == 1
+
+
+def test_ragged_chunk_with_labels_and_uncertainty(rng, small_model):
+    """End-to-end ragged-chunk regression: 9 windows at window_batch=8 (the
+    advisor's repro shape) — uncertainty from raw sums must be identical to
+    the unchunked run, and seg sums must stay consistent with counts."""
+    from values_tpu.ops.uncertainty import uncertainty_measures
+    model, variables = small_model
+    vol = rng.rand(P, 3 * P, 3 * P).astype(np.float32)  # 9 windows
+    labels = (rng.rand(2, P, 3 * P, 3 * P) > 0.5).astype(np.intc)
+    full = SlidingWindowEngine(model, [variables, variables], patch_size=P,
+                               window_batch=16)
+    chunked = SlidingWindowEngine(model, [variables, variables],
+                                  patch_size=P, window_batch=8)
+    sf, cf, df, segf, _ = full.run_volume(vol, labels)
+    sc, cc, dc, segc, _ = chunked.run_volume(vol, labels)
+    np.testing.assert_array_equal(cc, cf)
+    np.testing.assert_array_equal(segc, segf)
+    uf = uncertainty_measures(sf)
+    uc = uncertainty_measures(sc)
+    for k in uf:
+        np.testing.assert_allclose(uc[k], uf[k], atol=2e-5)
+        assert np.all(np.asarray(uc[k]) > -1e-6), k  # entropies stay >= 0
 
 
 def test_engine_grouped_mc_dropout(rng):

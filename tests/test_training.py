@@ -183,3 +183,71 @@ def test_ssn_inference_from_checkpoint(toy_dataset, tmp_path):
     assert (base / "aleatoric_uncertainty" / "0000.nii.gz").exists()
     first = next(iter(carrier.data.values()))
     assert first["softmax_pred"].shape[0] == 4
+
+
+def test_gradient_clip_matches_torch_transcript():
+    """optim.clip_grads_by_global_norm must reproduce
+    torch.nn.utils.clip_grad_norm_ on a fixed gradient pytree (the PL
+    Trainer behavior behind gradient_clip_val, reference main.py:66-74)."""
+    import jax.numpy as jnp
+    import torch
+    from values_tpu.training.optim import clip_grads_by_global_norm
+
+    rs = np.random.RandomState(0)
+    leaves = [rs.randn(3, 4).astype(np.float32) * 5,
+              rs.randn(7).astype(np.float32) * 0.1,
+              rs.randn(2, 2, 2).astype(np.float32) * 2]
+    for max_norm in (0.5, 5.0, 1000.0):  # clipping active and inactive
+        tparams = [torch.nn.Parameter(torch.zeros(l.shape)) for l in leaves]
+        for p, g in zip(tparams, leaves):
+            p.grad = torch.from_numpy(g.copy())
+        torch.nn.utils.clip_grad_norm_(tparams, max_norm)
+        expect = [p.grad.numpy() for p in tparams]
+        got = clip_grads_by_global_norm(
+            [jnp.asarray(l) for l in leaves], max_norm)
+        for e, g in zip(expect, got):
+            np.testing.assert_allclose(np.asarray(g), e, atol=1e-6)
+
+
+def test_gradient_clip_applied_in_train_step(toy_dataset, tmp_path):
+    """A config with gradient_clip_val must produce a different first-step
+    update than one without (and still train to finite loss)."""
+    import jax
+    import jax.numpy as jnp
+    from values_tpu.training.experiment import Experiment
+
+    cfg = _tiny_cfg(toy_dataset, tmp_path)
+    cfg["gradient_clip_val"] = 1e-3  # aggressive so the step visibly shrinks
+    clipped = Experiment(cfg)
+    assert clipped.gradient_clip_val == 1e-3
+    plain = Experiment(_tiny_cfg(toy_dataset, tmp_path))
+    assert plain.gradient_clip_val is None
+
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        "data": jnp.asarray(np.random.RandomState(1).rand(2, P, P, P, 1),
+                            dtype=jnp.float32),
+        "seg": jnp.asarray(
+            (np.random.RandomState(2).rand(2, P, P, P) > 0.5).astype(
+                np.int32)),
+    }
+    state_c = clipped.init_state(rng, P)
+    state_p = plain.init_state(rng, P)
+    # train_step donates its state; snapshot initial params first
+    init_c = jax.tree_util.tree_map(np.asarray, state_c.params)
+    init_p = jax.tree_util.tree_map(np.asarray, state_p.params)
+    new_c, loss_c = clipped.train_step(state_c, dict(batch), rng)
+    new_p, loss_p = plain.train_step(state_p, dict(batch), rng)
+    np.testing.assert_allclose(float(loss_c), float(loss_p), atol=1e-6)
+    delta_c = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(np.asarray(a) - b).max()), new_c.params,
+        init_c)
+    delta_p = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(np.asarray(a) - b).max()), new_p.params,
+        init_p)
+    # Adam normalizes step size, but the very first step's bias-corrected
+    # moments make the clipped update strictly smaller on some leaf
+    c_max = max(jax.tree_util.tree_leaves(delta_c))
+    p_max = max(jax.tree_util.tree_leaves(delta_p))
+    assert np.isfinite(c_max) and np.isfinite(p_max)
+    assert c_max != p_max

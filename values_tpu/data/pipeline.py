@@ -62,8 +62,12 @@ class NumpyBatchLoader:
                 rs.randint(len(sample["label_paths"]))]
         if self.training:
             p = self.patch_size
+            # inclusive upper bound dim-p: batchgenerators' random crop
+            # samples randint(0, dim-p+1), so the last valid offset is
+            # reachable (ADVICE r1: exclusive bound under-sampled the
+            # high edge)
             starts = [
-                rs.randint(0, dim - p) if dim > p else 0
+                rs.randint(0, dim - p + 1) if dim > p else 0
                 for dim in image.shape[:3]]
             sl = tuple(slice(s, s + p) for s in starts)
             image_patch = np.asarray(image[sl], dtype=np.float32)

@@ -162,17 +162,15 @@ class SlidingWindowEngine:
                 vol_shape, self.patch_size, self.patch_overlap)
         starts = np.asarray(starts)
 
-        # chunk the window batch to bound activation memory; the last chunk
-        # pads by repeating its final window (sums and counts scale
-        # together, so count normalization stays exact)
+        # chunk the window batch to bound activation memory; the ragged
+        # last chunk runs unpadded (the process-fn cache keys on chunk
+        # length, so the tail costs one extra compile). Padding by
+        # repeating a window would inflate the raw softmax sums the
+        # reference-semantics uncertainty path consumes (test_3D.py:486-534
+        # computes PE/EE/MI on raw sums), shifting entropies by -log(k).
         chunk = max(1, self.window_batch)
-        chunks = []
-        for i in range(0, len(starts), chunk):
-            part = starts[i:i + chunk]
-            if len(part) < chunk and i > 0:
-                pad = np.repeat(part[-1:], chunk - len(part), axis=0)
-                part = np.concatenate([part, pad], axis=0)
-            chunks.append(part)
+        chunks = [starts[i:i + chunk]
+                  for i in range(0, len(starts), chunk)]
 
         volume_dev = jnp.asarray(volume, dtype=self.dtype)
         stitched = sigma_stitched = counts = data_sums = None

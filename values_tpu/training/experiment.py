@@ -52,6 +52,8 @@ class Experiment:
         self.aleatoric_loss = bool(cfg.get("aleatoric_loss") or False)
         self.n_aleatoric_samples = int(cfg.get("n_aleatoric_samples", 10))
         self.pretrain_epochs = int(cfg.get("pretrain_epochs", 5))
+        clip = cfg.get("gradient_clip_val")
+        self.gradient_clip_val = float(clip) if clip else None
 
         model_cfg = cfg.model
         if cfg.get("aleatoric_loss") is not None:
@@ -164,6 +166,9 @@ class Experiment:
         (loss, new_model_state), grads = jax.value_and_grad(
             self._loss, has_aux=True)(
             state.params, state.model_state, batch, rng, pretrain)
+        if self.gradient_clip_val is not None:
+            grads = optim.clip_grads_by_global_norm(
+                grads, self.gradient_clip_val)
         updates, opt_state = self.optimizer.update(
             grads, state.opt_state, state.params)
         params = jax.tree_util.tree_map(

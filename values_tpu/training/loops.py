@@ -45,7 +45,8 @@ def _log_val_image(logger, experiment, state, batch, rng,
             experiment.model.apply(variables, data, rngs={"dropout": rng})
         if isinstance(out, tuple):
             out = out[0]
-        if hasattr(out, "mean"):  # SSN distribution
+        if hasattr(out, "rsample"):  # SSN distribution (not a jnp array:
+            # hasattr(out, "mean") is true for arrays too — the .mean METHOD)
             event = (experiment.num_classes,) + data.shape[1:-1]
             out = jnp.moveaxis(out.mean.reshape((1,) + event), 1, -1)
         pred = np.asarray(jnp.argmax(out, axis=-1))[0]
@@ -68,8 +69,12 @@ def _log_val_image(logger, experiment, state, batch, rng,
             [norm(img2d), norm(seg2d), norm(pred2d)], axis=1)[..., None]
         logger.log_image("validation/example", np.repeat(panel, 3, axis=-1),
                          step)
-    except Exception:
-        pass
+    except Exception as exc:  # best-effort, but never silently
+        if not getattr(_log_val_image, "_warned", False):
+            _log_val_image._warned = True
+            import warnings
+            warnings.warn(f"validation image logging failed: {exc!r} "
+                          "(further failures suppressed)")
 
 
 def fit(cfg: Config, max_steps_override: Optional[int] = None,
@@ -166,7 +171,8 @@ def fit(cfg: Config, max_steps_override: Optional[int] = None,
 
     logger.log_hparams(cfg.to_container())
     ckpt_dir = os.path.join(logger.log_dir, "checkpoints")
-    gradient_clip = cfg.get("gradient_clip_val")  # logged-only for now
+    # gradient_clip_val is applied inside Experiment.train_step_fn
+    # (torch clip_grad_norm_ semantics, optim.clip_grads_by_global_norm)
 
     t_start = time.time()
     for epoch in range(start_epoch, max_epochs):

@@ -125,6 +125,18 @@ def reduce_lr_on_plateau(optimizer: Any = None, patience: int = 10,
                                       patience=patience, interval="epoch")
 
 
+def clip_grads_by_global_norm(grads: Any, max_norm: float) -> Any:
+    """torch.nn.utils.clip_grad_norm_ semantics, which PL's Trainer applies
+    when ``gradient_clip_val`` is set (reference:
+    uncertainty_modeling/main.py:66-74): scale all gradients by
+    ``max_norm / (total_norm + 1e-6)`` clamped to <= 1, where total_norm is
+    the global 2-norm over every leaf."""
+    leaves = jax.tree_util.tree_leaves(grads)
+    total = jnp.sqrt(sum(jnp.sum(jnp.square(g)) for g in leaves))
+    coef = jnp.minimum(max_norm / (total + 1e-6), 1.0)
+    return jax.tree_util.tree_map(lambda g: g * coef, grads)
+
+
 def set_learning_rate(opt_state, lr) -> Any:
     """Overwrite the injected learning_rate hyperparameter in-place-ish."""
     hyperparams = dict(opt_state.hyperparams)
