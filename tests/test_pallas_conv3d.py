@@ -1,0 +1,145 @@
+"""Banded-GEMM Pallas conv3d: correctness vs lax.conv and full-model parity.
+
+CPU tests run the kernel in interpreter mode; the same code path compiles
+on real TPU (exercised by bench.py and scripts/bench_convs.py).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from values_tpu.ops.pallas.conv3d import (banded_weights, choose_tiling,
+                                          conv3d_grouped_banded, from_ndhcw,
+                                          to_ndhcw)
+
+rs = np.random.RandomState(0)
+
+
+def _ref_conv(x, k, bias, groups):
+    out = jax.lax.conv_general_dilated(
+        x, k, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        feature_group_count=groups)
+    return out + bias
+
+
+@pytest.mark.parametrize("shape", [
+    (2, 8, 8, 8, 1, 4, 4),     # plain
+    (2, 8, 8, 8, 2, 3, 5),     # grouped, odd channels
+    (1, 8, 16, 8, 2, 8, 8),    # non-cubic
+    (2, 8, 8, 8, 2, 1, 4),     # cin=1 (conv1_1 shape class)
+    (4, 8, 8, 16, 1, 8, 2),    # final-conv-like cout < lanes
+])
+def test_matches_lax_conv(shape):
+    B, D, H, W, G, cin, cout = shape
+    x = jnp.asarray(rs.randn(B, D, H, W, G * cin), dtype=jnp.float32)
+    k = jnp.asarray(rs.randn(3, 3, 3, cin, G * cout) * 0.2,
+                    dtype=jnp.float32)
+    bias = jnp.asarray(rs.randn(G * cout), dtype=jnp.float32)
+    ref = _ref_conv(x, k, bias, G)
+    got = from_ndhcw(conv3d_grouped_banded(
+        to_ndhcw(x), k, bias, groups=G, interpret=True))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_explicit_tiling_override():
+    B, D, H, W, G, cin, cout = 2, 8, 8, 8, 1, 4, 4
+    x = jnp.asarray(rs.randn(B, D, H, W, G * cin), dtype=jnp.float32)
+    k = jnp.asarray(rs.randn(3, 3, 3, cin, G * cout) * 0.2,
+                    dtype=jnp.float32)
+    bias = jnp.zeros((G * cout,), jnp.float32)
+    ref = _ref_conv(x, k, bias, G)
+    for tiling in [(1, 1, 1, 8), (2, 4, 2, 4), (4, 2, 1, 8)]:
+        got = from_ndhcw(conv3d_grouped_banded(
+            to_ndhcw(x), k, bias, groups=G, tiling=tiling, interpret=True))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4, err_msg=str(tiling))
+
+
+def test_banded_weights_structure():
+    """Band rows reproduce the kernel taps; outside the band is zero."""
+    G, cin, cout, qd, qh = 2, 3, 4, 2, 2
+    k = jnp.asarray(rs.randn(3, 3, 3, cin, G * cout), dtype=jnp.float32)
+    bw = np.asarray(banded_weights(k, G, qd, qh))
+    assert bw.shape == (G, qd * qh * cout, (qd + 2) * (qh + 2) * 3 * cin)
+    kn = np.asarray(k)
+    for g in range(G):
+        for dd in range(qd):
+            for dh in range(qh):
+                for co in range(cout):
+                    n = (dd * qh + dh) * cout + co
+                    for rd in range(qd + 2):
+                        for rh in range(qh + 2):
+                            for kw in range(3):
+                                for ci in range(cin):
+                                    kk = ((rd * (qh + 2) + rh) * 3
+                                          + kw) * cin + ci
+                                    inside = (0 <= rd - dd < 3
+                                              and 0 <= rh - dh < 3)
+                                    want = (kn[rd - dd, rh - dh, kw, ci,
+                                               g * cout + co]
+                                            if inside else 0.0)
+                                    assert bw[g, n, kk] == want
+
+
+def test_choose_tiling_bounds():
+    for cout, d, h, w, b in [(8, 64, 64, 64, 128), (16, 32, 32, 32, 128),
+                             (32, 16, 16, 16, 8), (128, 4, 4, 4, 2)]:
+        qd, qh, bp, sd = choose_tiling(cout, b, d, h, w)
+        assert qd * qh * cout <= 128
+        assert d % qd == 0 and h % qh == 0 and b % bp == 0
+        assert bp * w <= 128 or bp == 1
+        assert d % sd == 0 and sd % qd == 0
+
+
+def test_grouped_forward_matches_flax_ensemble():
+    """Full-model parity: the NDHCW/Pallas forward reproduces the flax
+    grouped EnsembleUNet3D to float tolerance (same variable tree)."""
+    from values_tpu.models.ensemble_unet3d import (
+        EnsembleUNet3D, group_member_variables)
+    from values_tpu.models.ensemble_unet3d_pallas import (
+        make_grouped_ensemble_predictor_pallas)
+    from values_tpu.models.unet3d import UNet3D
+
+    P, members, f = 16, 2, 2
+    base = UNet3D(num_classes=2, initial_filter_size=f)
+    keys = jax.random.split(jax.random.PRNGKey(0), members)
+    init = jax.jit(base.init)
+    grouped = group_member_variables(
+        [init(k, jnp.zeros((1, P, P, P, 1))) for k in keys])
+
+    x = jnp.asarray(rs.rand(2, P, P, P, 1), dtype=jnp.float32)
+    flax_model = EnsembleUNet3D(num_classes=2, members=members,
+                                initial_filter_size=f)
+    ref_logits = flax_model.apply(
+        jax.tree_util.tree_map(jnp.asarray, grouped), x)
+    ref_probs = jnp.moveaxis(jax.nn.softmax(ref_logits, axis=-1), -2, 0)
+
+    _, predict = make_grouped_ensemble_predictor_pallas(
+        2, members, f, dtype=jnp.float32, min_pallas_w=8, interpret=True)
+    got_probs, sigma = predict(grouped, x, jax.random.PRNGKey(1))
+    assert sigma is None
+    np.testing.assert_allclose(np.asarray(got_probs), np.asarray(ref_probs),
+                               atol=5e-5)
+
+
+def test_grouped_forward_mc_dropout_stochastic():
+    from values_tpu.models.ensemble_unet3d import group_member_variables
+    from values_tpu.models.ensemble_unet3d_pallas import (
+        make_grouped_ensemble_predictor_pallas)
+    from values_tpu.models.unet3d import UNet3D
+
+    P, f, S = 16, 2, 3
+    base = UNet3D(num_classes=2, initial_filter_size=f, do_dropout=True)
+    v = jax.jit(base.init)(jax.random.PRNGKey(0),
+                           jnp.zeros((1, P, P, P, 1)))
+    grouped = group_member_variables([v] * S)
+    x = jnp.asarray(rs.rand(1, P, P, P, 1), dtype=jnp.float32)
+    _, predict = make_grouped_ensemble_predictor_pallas(
+        2, S, f, dtype=jnp.float32, do_dropout=True, min_pallas_w=8,
+        interpret=True)
+    probs, _ = predict(grouped, x, jax.random.PRNGKey(3))
+    assert probs.shape == (S, 1, P, P, P, 2)
+    # same weights, different masks -> samples differ
+    assert not np.allclose(np.asarray(probs[0]), np.asarray(probs[1]))
