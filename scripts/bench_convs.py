@@ -1,14 +1,17 @@
-"""Per-shape microbenchmark of the grouped-ensemble UNet3D convolutions.
+"""A/B benchmark: grouped-ensemble UNet3D forward, XLA convs vs the Pallas
+banded-GEMM kernel (values_tpu.ops.pallas.conv3d).
 
-Times every 3^3 grouped convolution in the flagship bench workload
-(ensemble-5, batch 128, bf16, NDHWC) individually on the current device
-and reports achieved TFLOP/s vs the GEMM lane-bound (min(Cout/group,128)
-/128 of peak). This is the decision tool for the Pallas conv3d kernel:
-the gap between "achieved" and "bound" is XLA overhead; the gap between
-"bound" and peak is what only a banded-GEMM formulation can recover.
+Per-op host timing is meaningless in this environment (dispatch through
+the axon relay returns before execution; block_until_ready does not
+fence), so each variant is timed like bench.py: a lax.scan chains REPEATS
+forwards inside ONE compiled program — iteration i feeds a scalar from
+iteration i-1's output back into the input so XLA cannot parallelize or
+elide steps — and only the final per-step scalars are fetched. Wall time
+divided by REPEATS gives ms/forward.
 
-Run: python scripts/bench_convs.py [batch]
+Run: python scripts/bench_convs.py [batch] [--xla-only|--pallas-only]
 """
+import functools
 import sys
 import time
 from pathlib import Path
@@ -20,22 +23,65 @@ import jax.numpy as jnp
 import numpy as np
 
 PEAK_BF16 = 197e12  # v5e
+MEMBERS = 5
+PATCH = 64
+REPEATS = 8
 
 
-def conv_shapes(batch: int, members: int = 5, f: int = 8):
-    """(name, spatial, cin_per_member, cout_per_member) for every 3^3 conv
-    in EnsembleUNet3D (values_tpu/models/ensemble_unet3d.py)."""
-    shapes = []
+def forward_flops(batch, members=MEMBERS, f=8, patch=PATCH):
+    total = 0
     for level, (sp, fin) in enumerate(
-            [(64, f), (32, 2 * f), (16, 4 * f), (8, 8 * f)], start=1):
+            [(patch, f), (patch // 2, 2 * f), (patch // 4, 4 * f),
+             (patch // 8, 8 * f)], start=1):
         cin1 = 1 if level == 1 else fin // 2
-        shapes.append((f"contr_{level}_1", sp, cin1, fin))
-        shapes.append((f"contr_{level}_2", sp, fin, fin))
-        shapes.append((f"expand_{level}_1", sp, 2 * fin, fin))
-        shapes.append((f"expand_{level}_2", sp, fin, fin))
-    shapes.append(("center_conv1", 4, 8 * f, 16 * f))
-    shapes.append(("center_conv2", 4, 16 * f, 16 * f))
-    return shapes
+        for cin, cout in ((cin1, fin), (fin, fin),
+                          (2 * fin, fin), (fin, fin)):
+            total += 2 * sp ** 3 * 27 * cin * cout
+    sp = patch // 16
+    total += 2 * sp ** 3 * 27 * (8 * f) * (16 * f)
+    total += 2 * sp ** 3 * 27 * (16 * f) * (16 * f)
+    # transpose convs + final
+    total += 2 * (patch // 16) ** 3 * 8 * (16 * f) * (8 * f)
+    for spu, ci, co in ((patch // 8, 8 * f, 4 * f),
+                        (patch // 4, 4 * f, 2 * f),
+                        (patch // 2, 2 * f, f)):
+        total += 2 * spu ** 3 * 8 * ci * co
+    total += 2 * patch ** 3 * f * 2 * 2
+    return total * batch * members
+
+
+def time_variant(name, predict, stacked, batch):
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(batch, PATCH, PATCH, PATCH, 1),
+                    dtype=jnp.float32)
+
+    @jax.jit
+    def chained(stacked, x, rng):
+        def body(carry, i):
+            # scalar feedback serializes iterations without extra passes
+            xi = x + carry * jnp.float32(1e-30)
+            stack, _ = predict(stacked, xi, jax.random.fold_in(rng, i))
+            s = stack[0, 0, 0, 0, 0, 0].astype(jnp.float32)
+            return s, s
+        _, scalars = jax.lax.scan(body, jnp.float32(0.0),
+                                  jnp.arange(REPEATS))
+        return scalars
+
+    rng = jax.random.PRNGKey(0)
+    out = np.asarray(chained(stacked, x, rng))  # compile + warm
+    assert np.all(np.isfinite(out)), out
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = np.asarray(chained(stacked, x, rng))
+        best = min(best, time.perf_counter() - t0)
+    ms = best / REPEATS * 1e3
+    fl = forward_flops(batch)
+    print(f"{name:8s} {ms:8.2f} ms/forward(batch {batch})  "
+          f"{fl / (ms / 1e3) / 1e12:6.1f} TF/s  "
+          f"{100 * fl / (ms / 1e3) / PEAK_BF16:5.1f}% peak  "
+          f"{batch / (ms / 1e3):7.1f} vol/s", flush=True)
+    return ms
 
 
 def main():
@@ -43,63 +89,32 @@ def main():
                       str(Path(__file__).resolve().parents[1] / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    use_pallas = "--pallas" in sys.argv
-    min_w = 32
-    members = 5
-    rs = np.random.RandomState(0)
-    print(f"device={jax.devices()[0]} batch={batch} members={members}"
-          + (" [pallas banded-GEMM where W>=%d]" % min_w if use_pallas
-             else " [XLA]"))
-    if use_pallas:
-        from values_tpu.ops.pallas.conv3d import (choose_tiling,
-                                                  conv3d_grouped_banded)
-    rows = []
-    for name, sp, cin, cout in conv_shapes(batch, members):
-        k = jnp.asarray(
-            rs.rand(3, 3, 3, cin, members * cout) * 0.1, dtype=jnp.bfloat16)
-        pallas_here = use_pallas and sp >= min_w
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    batch = int(args[0]) if args else 128
 
-        if pallas_here:
-            x = jnp.asarray(rs.rand(batch, sp, sp, members * cin, sp),
-                            dtype=jnp.bfloat16)
-            conv = jax.jit(lambda x, k: conv3d_grouped_banded(
-                x, k, groups=members))
-            note = "q=%dx%d bp=%d sd=%d" % choose_tiling(
-                cout, batch, sp, sp, sp)
-        else:
-            x = jnp.asarray(rs.rand(batch, sp, sp, sp, members * cin),
-                            dtype=jnp.bfloat16)
+    from values_tpu.models.unet3d import UNet3D
+    from values_tpu.models.ensemble_unet3d import (
+        group_member_variables, make_grouped_ensemble_predictor)
+    from values_tpu.models.ensemble_unet3d_pallas import (
+        make_grouped_ensemble_predictor_pallas)
 
-            @jax.jit
-            def conv(x, k):
-                return jax.lax.conv_general_dilated(
-                    x, k, (1, 1, 1), "SAME",
-                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-                    feature_group_count=members)
-            note = ""
+    base = UNet3D(num_classes=2, initial_filter_size=8)
+    init = jax.jit(base.init)
+    keys = jax.random.split(jax.random.PRNGKey(0), MEMBERS)
+    stacked = group_member_variables(
+        [init(k, jnp.zeros((1, PATCH, PATCH, PATCH, 1))) for k in keys])
+    stacked = jax.tree_util.tree_map(jnp.asarray, stacked)
+    print(f"device={jax.devices()[0]} batch={batch} members={MEMBERS} "
+          f"patch={PATCH} ({forward_flops(batch) / 1e9:.0f} GFLOP/forward)")
 
-        out = conv(x, k)
-        jax.block_until_ready(out)
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            jax.block_until_ready(conv(x, k))
-            best = min(best, time.perf_counter() - t0)
-        flops = 2 * batch * sp ** 3 * 27 * cin * cout * members
-        tflops = flops / best / 1e12
-        bound = min(cout, 128) / 128  # im2col GEMM N-bound per group
-        rows.append((name, sp, cin, cout, best * 1e3, tflops,
-                     100 * tflops / (PEAK_BF16 / 1e12),
-                     100 * bound, note))
-        print(f"{name:14s} {sp:3d} {cin:4d} {cout:4d} {best * 1e3:8.2f}ms "
-              f"{tflops:7.1f}TF/s {100 * tflops / (PEAK_BF16 / 1e12):5.1f}% "
-              f"(im2col bound {100 * bound:5.1f}%) {note}", flush=True)
-    total_t = sum(r[4] for r in rows)
-    total_f = sum(2 * batch * r[1] ** 3 * 27 * r[2] * r[3] * members
-                  for r in rows)
-    print(f"TOTAL {total_t:.1f} ms  {total_f / (total_t / 1e3) / 1e12:.1f} "
-          f"TF/s  ({100 * total_f / (total_t / 1e3) / PEAK_BF16:.1f}% peak)")
+    if "--pallas-only" not in sys.argv:
+        _, xla_pred = make_grouped_ensemble_predictor(
+            2, MEMBERS, 8, dtype=jnp.bfloat16)
+        time_variant("xla", xla_pred, stacked, batch)
+    if "--xla-only" not in sys.argv:
+        _, pallas_pred = make_grouped_ensemble_predictor_pallas(
+            2, MEMBERS, 8, dtype=jnp.bfloat16)
+        time_variant("pallas", pallas_pred, stacked, batch)
 
 
 if __name__ == "__main__":

@@ -10,8 +10,8 @@ import jax
 import jax.numpy as jnp
 
 from values_tpu.ops.pallas.conv3d import (banded_weights, choose_tiling,
-                                          conv3d_grouped_banded, from_ndhcw,
-                                          to_ndhcw)
+                                          conv3d_grouped_banded, pack_ndhwc,
+                                          unpack_ndhwc)
 
 rs = np.random.RandomState(0)
 
@@ -24,12 +24,23 @@ def _ref_conv(x, k, bias, groups):
     return out + bias
 
 
+def test_pack_roundtrip():
+    x = jnp.asarray(rs.randn(8, 4, 4, 16, 3), dtype=jnp.float32)
+    packed = pack_ndhwc(x, 8)
+    assert packed.shape == (1, 4, 4, 3, 128)
+    np.testing.assert_array_equal(np.asarray(unpack_ndhwc(packed, 8)),
+                                  np.asarray(x))
+    # item i occupies lane block [i*W, (i+1)*W)
+    np.testing.assert_array_equal(np.asarray(packed[0, ..., 16:32]),
+                                  np.asarray(x[1].transpose(0, 1, 3, 2)))
+
+
 @pytest.mark.parametrize("shape", [
-    (2, 8, 8, 8, 1, 4, 4),     # plain
-    (2, 8, 8, 8, 2, 3, 5),     # grouped, odd channels
-    (1, 8, 16, 8, 2, 8, 8),    # non-cubic
-    (2, 8, 8, 8, 2, 1, 4),     # cin=1 (conv1_1 shape class)
-    (4, 8, 8, 16, 1, 8, 2),    # final-conv-like cout < lanes
+    (2, 8, 8, 8, 1, 8, 8),     # plain
+    (2, 8, 8, 8, 2, 8, 16),    # grouped
+    (1, 8, 16, 8, 2, 8, 8),    # non-cubic, batch < bp (padded internally)
+    (4, 8, 8, 16, 1, 16, 8),   # wider items, cout < lanes
+    (32, 4, 4, 4, 2, 8, 8),    # deep-level geometry (bp = 32)
 ])
 def test_matches_lax_conv(shape):
     B, D, H, W, G, cin, cout = shape
@@ -38,43 +49,43 @@ def test_matches_lax_conv(shape):
                     dtype=jnp.float32)
     bias = jnp.asarray(rs.randn(G * cout), dtype=jnp.float32)
     ref = _ref_conv(x, k, bias, G)
-    got = from_ndhcw(conv3d_grouped_banded(
-        to_ndhcw(x), k, bias, groups=G, interpret=True))
+    got = conv3d_grouped_banded(x, k, bias, groups=G, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
 
 
 def test_explicit_tiling_override():
-    B, D, H, W, G, cin, cout = 2, 8, 8, 8, 1, 4, 4
+    B, D, H, W, G, cin, cout = 2, 8, 8, 8, 1, 8, 8
     x = jnp.asarray(rs.randn(B, D, H, W, G * cin), dtype=jnp.float32)
     k = jnp.asarray(rs.randn(3, 3, 3, cin, G * cout) * 0.2,
                     dtype=jnp.float32)
     bias = jnp.zeros((G * cout,), jnp.float32)
     ref = _ref_conv(x, k, bias, G)
-    for tiling in [(1, 1, 1, 8), (2, 4, 2, 4), (4, 2, 1, 8)]:
-        got = from_ndhcw(conv3d_grouped_banded(
-            to_ndhcw(x), k, bias, groups=G, tiling=tiling, interpret=True))
+    for tiling in [(1, 1, 8), (2, 4, 4), (4, 2, 8), (2, 2, 2)]:
+        got = conv3d_grouped_banded(x, k, bias, groups=G, tiling=tiling,
+                                    interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-4, err_msg=str(tiling))
 
 
 def test_banded_weights_structure():
-    """Band rows reproduce the kernel taps; outside the band is zero."""
+    """Band rows reproduce the kernel taps in (kw, rd, rh, ci) column
+    order; outside the band is zero."""
     G, cin, cout, qd, qh = 2, 3, 4, 2, 2
     k = jnp.asarray(rs.randn(3, 3, 3, cin, G * cout), dtype=jnp.float32)
     bw = np.asarray(banded_weights(k, G, qd, qh))
-    assert bw.shape == (G, qd * qh * cout, (qd + 2) * (qh + 2) * 3 * cin)
+    assert bw.shape == (G, qd * qh * cout, 3 * (qd + 2) * (qh + 2) * cin)
     kn = np.asarray(k)
     for g in range(G):
         for dd in range(qd):
             for dh in range(qh):
                 for co in range(cout):
                     n = (dd * qh + dh) * cout + co
-                    for rd in range(qd + 2):
-                        for rh in range(qh + 2):
-                            for kw in range(3):
+                    for kw in range(3):
+                        for rd in range(qd + 2):
+                            for rh in range(qh + 2):
                                 for ci in range(cin):
-                                    kk = ((rd * (qh + 2) + rh) * 3
-                                          + kw) * cin + ci
+                                    kk = ((kw * (qd + 2) + rd) * (qh + 2)
+                                          + rh) * cin + ci
                                     inside = (0 <= rd - dd < 3
                                               and 0 <= rh - dh < 3)
                                     want = (kn[rd - dd, rh - dh, kw, ci,
@@ -84,17 +95,16 @@ def test_banded_weights_structure():
 
 
 def test_choose_tiling_bounds():
-    for cout, d, h, w, b in [(8, 64, 64, 64, 128), (16, 32, 32, 32, 128),
-                             (32, 16, 16, 16, 8), (128, 4, 4, 4, 2)]:
-        qd, qh, bp, sd = choose_tiling(cout, b, d, h, w)
+    for cout, d, h in [(8, 64, 64), (16, 32, 32), (32, 16, 16),
+                       (64, 8, 8), (128, 4, 4)]:
+        qd, qh, sd = choose_tiling(cout, d, h)
         assert qd * qh * cout <= 128
-        assert d % qd == 0 and h % qh == 0 and b % bp == 0
-        assert bp * w <= 128 or bp == 1
+        assert d % qd == 0 and h % qh == 0
         assert d % sd == 0 and sd % qd == 0
 
 
 def test_grouped_forward_matches_flax_ensemble():
-    """Full-model parity: the NDHCW/Pallas forward reproduces the flax
+    """Full-model parity: the packed/Pallas forward reproduces the flax
     grouped EnsembleUNet3D to float tolerance (same variable tree)."""
     from values_tpu.models.ensemble_unet3d import (
         EnsembleUNet3D, group_member_variables)
@@ -117,7 +127,7 @@ def test_grouped_forward_matches_flax_ensemble():
     ref_probs = jnp.moveaxis(jax.nn.softmax(ref_logits, axis=-1), -2, 0)
 
     _, predict = make_grouped_ensemble_predictor_pallas(
-        2, members, f, dtype=jnp.float32, min_pallas_w=8, interpret=True)
+        2, members, f, dtype=jnp.float32, interpret=True)
     got_probs, sigma = predict(grouped, x, jax.random.PRNGKey(1))
     assert sigma is None
     np.testing.assert_allclose(np.asarray(got_probs), np.asarray(ref_probs),
@@ -137,8 +147,7 @@ def test_grouped_forward_mc_dropout_stochastic():
     grouped = group_member_variables([v] * S)
     x = jnp.asarray(rs.rand(1, P, P, P, 1), dtype=jnp.float32)
     _, predict = make_grouped_ensemble_predictor_pallas(
-        2, S, f, dtype=jnp.float32, do_dropout=True, min_pallas_w=8,
-        interpret=True)
+        2, S, f, dtype=jnp.float32, do_dropout=True, interpret=True)
     probs, _ = predict(grouped, x, jax.random.PRNGKey(3))
     assert probs.shape == (S, 1, P, P, P, 2)
     # same weights, different masks -> samples differ
