@@ -226,3 +226,93 @@ def test_engine_grouped_tta_matches_vmapped(rng, small_model):
         vol)[0]
     assert a.shape == b.shape
     np.testing.assert_allclose(b, a, atol=5e-3)
+
+
+def test_gaussian_weight_mode_non_overlapping_matches_uniform(rng,
+                                                              small_model):
+    """With patch_overlap=1 (non-overlapping tiles) the normalized outputs
+    of gaussian and uniform stitching are identical."""
+    model, variables = small_model
+    vol = rng.rand(P, 2 * P, P).astype(np.float32)
+    uni = SlidingWindowEngine(model, [variables], patch_size=P)
+    gau = SlidingWindowEngine(model, [variables], patch_size=P,
+                              weight_mode="gaussian")
+    su, cu, du, *_ = uni.run_volume(vol)
+    sg, cg, dg, *_ = gau.run_volume(vol)
+    np.testing.assert_allclose(sg / cg, su / cu, atol=2e-5)
+    np.testing.assert_allclose(dg / cg, du / cu, atol=1e-5)
+    assert cg.max() <= 1.0 + 1e-6 and cg.min() > 0  # fractional weights
+
+
+def test_gaussian_weight_mode_overlapping_windows(rng, small_model):
+    """With 50% overlap the normalized softmax is the Gaussian-weighted
+    average of the per-window predictions (border windows downweighted)."""
+    from values_tpu.ops.window import (enumerate_window_starts,
+                                       gaussian_weight_map)
+    model, variables = small_model
+    vol = rng.rand(P, 2 * P, P).astype(np.float32)
+    gau = SlidingWindowEngine(model, [variables], patch_size=P,
+                              patch_overlap=0.5, weight_mode="gaussian")
+    sg, cg, dg, *_ = gau.run_volume(vol)
+
+    starts = enumerate_window_starts(vol.shape, P, 0.5)
+    w = np.asarray(gaussian_weight_map(P))
+    fwd = jax.jit(model.apply)
+    num = np.zeros((2,) + vol.shape, np.float32)
+    den = np.zeros(vol.shape, np.float32)
+    for s0, s1, s2 in starts:
+        win = vol[s0:s0 + P, s1:s1 + P, s2:s2 + P]
+        sm = np.asarray(jax.nn.softmax(
+            fwd(variables, jnp.asarray(win)[None, ..., None]),
+            axis=-1))[0].transpose(3, 0, 1, 2)
+        num[:, s0:s0 + P, s1:s1 + P, s2:s2 + P] += sm * w
+        den[s0:s0 + P, s1:s1 + P, s2:s2 + P] += w
+    # gaussian mode hands downstream normalized quantities + unit counts
+    np.testing.assert_array_equal(cg, np.ones_like(cg))
+    np.testing.assert_allclose(sg[0], num / den, atol=3e-5)
+    # the input volume is reproduced exactly under any weighting
+    np.testing.assert_allclose(dg, vol, atol=1e-5)
+
+
+def test_gaussian_weight_mode_with_labels_and_carrier(rng, small_model,
+                                                      tmp_path):
+    """Gaussian stitching flows through the carrier normalization
+    (fractional coverage must not be floored by the old clip(count, 1))."""
+    model, variables = small_model
+    vol = rng.rand(P, 2 * P, P).astype(np.float32)
+    labels = (rng.rand(2, P, 2 * P, P) > 0.5).astype(np.intc)
+    gau = SlidingWindowEngine(model, [variables], patch_size=P,
+                              patch_overlap=0.5, weight_mode="gaussian")
+    sg, cg, dg, segg, _ = gau.run_volume(vol, labels)
+    # rater labels reproduced exactly (windows agree on their values)
+    np.testing.assert_allclose(segg / cg, labels, atol=1e-4)
+
+
+def test_tta_with_dropout_keeps_masks_live(rng):
+    """Reference TTA x dropout semantics: models never leave train mode,
+    so each TTA variant draws its own dropout mask (test_3D.py:222-247).
+    Two variants of the same flip-free input must differ, and the run is
+    reproducible under the engine seed."""
+    model = UNet3D(num_classes=2, initial_filter_size=2, do_dropout=True)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, P, P, P, 1)))
+    vol = rng.rand(P, P, P).astype(np.float32)
+    engine = SlidingWindowEngine(model, [variables], mode="tta",
+                                 patch_size=P, seed=5)
+    s, *_ = engine.run_volume(vol)
+    assert s.shape[0] == 16
+    # clean (0) and noisy (8) variants share geometry but not masks/noise
+    assert not np.allclose(s[0], s[8])
+    # deterministic given the engine seed
+    s2, *_ = SlidingWindowEngine(model, [variables], mode="tta",
+                                 patch_size=P, seed=5).run_volume(vol)[0:1]
+    np.testing.assert_array_equal(s, s2)
+    # a deterministic model's clean variant is unchanged by the new keys
+    det = UNet3D(num_classes=2, initial_filter_size=2)
+    dv = jax.jit(det.init)(jax.random.PRNGKey(0),
+                           jnp.zeros((1, P, P, P, 1)))
+    sd_, *_ = SlidingWindowEngine(det, [dv], mode="tta", patch_size=P,
+                                  seed=5).run_volume(vol)
+    plain = SlidingWindowEngine(det, [dv], mode="default", n_pred=1,
+                                patch_size=P).run_volume(vol)[0]
+    np.testing.assert_allclose(sd_[0], plain[0], atol=2e-3)

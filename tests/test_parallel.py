@@ -111,3 +111,99 @@ def test_sample_sharded_ensemble(rng):
                                       jax.random.PRNGKey(1))
     np.testing.assert_allclose(np.asarray(stack), np.asarray(ref_stack),
                                atol=2e-3)
+
+
+# -- production-path mesh integration (VERDICT r1 item 2) ------------------
+
+def test_engine_window_sharded_matches_single_device(rng):
+    """SlidingWindowEngine(mesh=..., mesh_strategy='window') must produce
+    identical raw sums/counts to the single-device engine, including the
+    zero-masked padding of ragged shards (5 windows over 8 chips)."""
+    from values_tpu.inference.engine import SlidingWindowEngine
+    mesh = make_mesh(n_data=8, n_sample=1)
+    model = UNet3D(num_classes=2, initial_filter_size=2)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, P, P, P, 1)))
+    vol = rng.rand(P, 5 * P, P).astype(np.float32)  # 5 windows
+    labels = (rng.rand(2, P, 5 * P, P) > 0.5).astype(np.intc)
+
+    single = SlidingWindowEngine(model, [variables, variables],
+                                 patch_size=P, window_batch=16)
+    sharded = SlidingWindowEngine(model, [variables, variables],
+                                  patch_size=P, window_batch=16, mesh=mesh)
+    sf, cf, df, segf, _ = single.run_volume(vol, labels)
+    sc, cc, dc, segc, _ = sharded.run_volume(vol, labels)
+    np.testing.assert_array_equal(cc, cf)
+    np.testing.assert_allclose(sc, sf, atol=2e-5)
+    np.testing.assert_allclose(dc, df, atol=1e-5)
+    np.testing.assert_array_equal(segc, segf)
+
+
+def test_engine_sample_sharded_matches_single_device(rng):
+    from values_tpu.inference.engine import SlidingWindowEngine
+    mesh = make_mesh(n_data=2, n_sample=4)
+    model = UNet3D(num_classes=2, initial_filter_size=2)
+    init = jax.jit(model.init)
+    members = [init(k, jnp.zeros((1, P, P, P, 1)))
+               for k in jax.random.split(jax.random.PRNGKey(0), 4)]
+    vol = rng.rand(P, P, P).astype(np.float32)
+    single = SlidingWindowEngine(model, members, patch_size=P)
+    sharded = SlidingWindowEngine(model, members, patch_size=P, mesh=mesh,
+                                  mesh_strategy="sample")
+    sf, *_ = single.run_volume(vol)
+    sc, *_ = sharded.run_volume(vol)
+    assert sc.shape == sf.shape == (4, 2, P, P, P)
+    np.testing.assert_allclose(sc, sf, atol=2e-3)
+
+
+@pytest.fixture(scope="module")
+def toy_dataset_parallel(tmp_path_factory):
+    import random
+    from values_tpu.data.toy_generation import ToyGenConfig, generate_samples
+    root = tmp_path_factory.mktemp("ToyDataPar")
+    case = root / "Case_1"
+    for split, n in (("Tr", 16), ("Ts", 2)):
+        gen_cfg = ToyGenConfig(
+            input_files=["ballSphere.stl"],
+            save_path=str(case / f"images{split}"), n_samples=n,
+            image_size=(P, P, P), min_object_ratio=5, max_object_ratio=2,
+            gauss_sigma=2, blur=True, segmentation=True, n_raters=3,
+            seed=1 if split == "Tr" else 2)
+        random.seed(gen_cfg.seed)
+        np.random.seed(gen_cfg.seed)
+        generate_samples(gen_cfg)
+        seg = case / f"images{split}" / "segmentation"
+        (case / f"labels{split}").mkdir(exist_ok=True)
+        for f in seg.iterdir():
+            f.rename(case / f"labels{split}" / f.name)
+        seg.rmdir()
+    return root
+
+
+def test_fit_data_parallel_production_path(toy_dataset_parallel, tmp_path):
+    """fit() with devices=8 runs the sharded train step end to end and
+    produces a loadable checkpoint (the production mesh path, not a
+    bespoke dryrun copy)."""
+    from values_tpu.training.loops import fit
+    from values_tpu.training.checkpoint import load_any_checkpoint
+
+    cfg = compose("configs", "softmax_config", overrides=[
+        f"data_input_dir={toy_dataset_parallel}",
+        f"save_dir={tmp_path}/exp",
+        "max_epochs=1", "batch_size=8", "datamodule.patch_size=16",
+        "datamodule.batch_size=8", "datamodule.data_num_folds=3",
+        "model.initial_filter_size=2", "version=0", "devices=8",
+    ])
+    ckpt = fit(cfg, max_steps_override=2)
+    hparams, variables = load_any_checkpoint(ckpt)
+    assert variables is not None
+    assert int(hparams["devices"]) == 8
+
+
+def test_resolve_device_count():
+    from values_tpu.parallel.mesh import resolve_device_count
+    assert resolve_device_count(None) == 1
+    assert resolve_device_count("1") == 1
+    assert resolve_device_count(4) == 4
+    assert resolve_device_count("all", available=8) == 8
+    assert resolve_device_count(-1, available=8) == 8

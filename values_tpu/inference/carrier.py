@@ -19,7 +19,9 @@ holds the per-image results and writes the identical output tree:
 
 All stored arrays keep the reference's conventions: raw scatter-added sums
 plus a ``num_predictions`` count map of shape (num_classes, *spatial);
-normalization by ``clip(count, 1)`` happens at save/metrics time
+normalization by the coverage map (zero-coverage voxels divide by 1,
+the reference's clip(count, 1) intent, kept exact for fractional
+Gaussian stitching weights) happens at save/metrics time
 (data_carrier_3D.py:208-221, test_3D.py:537-575).
 """
 from __future__ import annotations
@@ -81,7 +83,8 @@ class VolumeCarrier:
             if "seg" not in value:
                 value["metrics"] = {}
                 continue
-            clip_count = np.clip(value["num_predictions"], 1, None)
+            clip_count = np.where(value["num_predictions"] == 0, 1,
+                                  value["num_predictions"])
             mean_softmax = np.mean(
                 value["softmax_pred"] / clip_count[0], axis=0)[None]
             gt_seg = value["seg"]
@@ -122,7 +125,8 @@ class VolumeCarrier:
                                test_split)
         for key, value in self.data.items():
             image_id = self._image_id(key)
-            clip_count = np.clip(value["num_predictions"], 1, None)
+            clip_count = np.where(value["num_predictions"] == 0, 1,
+                                  value["num_predictions"])
             header = None
             if org_data_path:
                 org_file = os.path.join(org_data_path, image_id + ".nii.gz")

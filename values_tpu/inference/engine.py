@@ -43,7 +43,24 @@ class SlidingWindowEngine:
                  n_aleatoric_samples: int = 10, patch_size: int = 64,
                  patch_overlap: float = 1.0, window_batch: int = 8,
                  dtype: Any = jnp.float32, seed: int = 123,
-                 use_grouped_ensemble: bool = False):
+                 use_grouped_ensemble: bool = False,
+                 mesh: Any = None, mesh_strategy: str = "window",
+                 weight_mode: str = "uniform"):
+        """``mesh``: an optional jax.sharding.Mesh for multi-chip C1.
+        ``mesh_strategy``:
+          - "window": the window batch shards along the mesh ``data``
+            axis; each chip stitches a local partial volume and one psum
+            over ICI assembles it (the spatial/CP analog, SURVEY.md §5).
+            Works for every prediction mode including the grouped
+            lowerings.
+          - "sample": ensemble members shard along the ``sample`` axis
+            (default mode, n_pred==1, members divisible by the axis).
+        ``weight_mode``: "uniform" reproduces the reference's stitching
+        (count-normalized average, data_carrier_3D.py:99-221); "gaussian"
+        weights every stitched quantity by a separable Gaussian importance
+        map (sigma = patch/8), downweighting window borders when windows
+        overlap (patch_overlap < 1). With non-overlapping windows both
+        modes normalize to identical outputs."""
         self.model = model
         self.n_models = len(variables_list)
         self.mode = mode
@@ -54,6 +71,11 @@ class SlidingWindowEngine:
         self.window_batch = window_batch
         self.dtype = dtype
         self.rng = jax.random.PRNGKey(seed)
+        self.mesh = mesh
+        self.mesh_strategy = mesh_strategy if mesh is not None else None
+        if weight_mode not in ("uniform", "gaussian"):
+            raise ValueError(f"unknown weight_mode {weight_mode!r}")
+        self.weight_mode = weight_mode
         self._process_cache: Dict[Any, Any] = {}
 
         if use_grouped_ensemble and self._grouped_eligible(model):
@@ -95,6 +117,28 @@ class SlidingWindowEngine:
             self.predictor = make_predictor(
                 model, mode, self.n_models, n_pred, n_aleatoric_samples)
 
+        if self.mesh_strategy == "sample":
+            self._setup_sample_sharding(use_grouped_ensemble)
+
+    def _setup_sample_sharding(self, grouped: bool) -> None:
+        """Shard ensemble members over the mesh ``sample`` axis (shard_map
+        around the per-shard vmapped predictor; parallel.mesh)."""
+        from ..parallel.mesh import (SAMPLE_AXIS,
+                                     make_parallel_sample_predict,
+                                     sample_sharding)
+        n_shards = self.mesh.shape[SAMPLE_AXIS]
+        if (grouped or self.mode != "default" or self.n_pred != 1
+                or self.n_models % n_shards):
+            raise ValueError(
+                "mesh_strategy='sample' needs the non-grouped default mode "
+                f"with n_pred=1 and n_models divisible by {n_shards}")
+        sharded = make_parallel_sample_predict(
+            self.model, self.n_models, self.mesh, n_pred=1,
+            stochastic=bool(getattr(self.model, "do_dropout", False)))
+        self.stacked_variables = jax.device_put(
+            self.stacked_variables, sample_sharding(self.mesh))
+        self.predictor = lambda v, x, rng: (sharded(v, x, rng), None)
+
     def _grouped_eligible(self, model: Any) -> bool:
         from ..models.unet3d import UNet3D
         if type(model) is not UNet3D or getattr(model, "aleatoric_loss",
@@ -110,6 +154,14 @@ class SlidingWindowEngine:
             return self.n_models == 1 and self.n_pred > 1
         return self.n_pred == 1 and self.n_models > 1
 
+    def _window_weight(self, dtype=None):
+        """(p, p, p) per-voxel stitching weight, or None for uniform."""
+        if self.weight_mode != "gaussian":
+            return None
+        from ..ops.window import gaussian_weight_map
+        return gaussian_weight_map(self.patch_size,
+                                   dtype=dtype or self.dtype)
+
     @property
     def total_samples(self) -> int:
         if self.mode == "tta":
@@ -119,9 +171,70 @@ class SlidingWindowEngine:
         return self.n_pred * self.n_models
 
     # -----------------------------------------------------------------
+    def _build_sharded_process_fn(self, vol_shape, n_windows: int):
+        """Window-sharded per-volume program: starts (padded to a multiple
+        of the data-axis size, invalid entries masked to zero weight)
+        shard across chips; each chip stitches a partial volume and one
+        psum assembles sums/counts. Masked windows contribute nothing, so
+        raw-sum uncertainty semantics stay exact (unlike pad-by-repeat)."""
+        from functools import partial
+        from jax.sharding import PartitionSpec as P
+        from ..parallel.mesh import DATA_AXIS
+        p = self.patch_size
+        has_sigma = self.mode == "aleatoric"
+
+        @partial(jax.shard_map, mesh=self.mesh,
+                 in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(), P()),
+                 out_specs=(P(), P(), P(), P()) if has_sigma
+                 else (P(), P(), P()),
+                 check_vma=False)
+        def sharded(volume, starts, mask, stacked_variables, rng):
+            rng = jax.random.fold_in(
+                rng, jax.lax.axis_index(DATA_AXIS))
+            windows = extract_windows(volume, starts, p)
+            x = windows[..., None].astype(self.dtype)
+            softmax_stack, sigma_stack = self.predictor(
+                stacked_variables, x, rng)
+            num_classes = softmax_stack.shape[-1]
+            wmap = self._window_weight(softmax_stack.dtype)
+            m = mask.astype(softmax_stack.dtype)[:, None, None, None]
+            if wmap is not None:
+                m = m * wmap  # pad mask x Gaussian stitching weight
+            m5 = m[:, :, :, :, None]
+
+            def stitch_sample(sample):
+                return stitch_windows(sample * m5, starts,
+                                      tuple(vol_shape) + (num_classes,))
+
+            stitched = jax.lax.psum(
+                jax.vmap(stitch_sample)(softmax_stack), DATA_AXIS)
+            counts = jax.lax.psum(stitch_windows(
+                jnp.broadcast_to(m, windows.shape).astype(windows.dtype),
+                starts, tuple(vol_shape)), DATA_AXIS)
+            data_sums = jax.lax.psum(stitch_windows(
+                windows * m.astype(windows.dtype),
+                starts, tuple(vol_shape)), DATA_AXIS)
+            if has_sigma:
+                sigma = jax.lax.psum(
+                    jax.vmap(stitch_sample)(sigma_stack), DATA_AXIS)
+                return stitched, sigma, counts, data_sums
+            return stitched, counts, data_sums
+
+        jitted = jax.jit(sharded)
+
+        def process(volume, starts, mask, stacked_variables, rng):
+            out = jitted(volume, starts, mask, stacked_variables, rng)
+            if has_sigma:
+                return out
+            return out[0], None, out[1], out[2]
+
+        return process
+
     def _build_process_fn(self, vol_shape, n_windows: int):
         """Compile the per-volume program for a given geometry."""
         p = self.patch_size
+
+        wmap = self._window_weight()
 
         def process(volume, starts, stacked_variables, rng):
             windows = extract_windows(volume, starts, p)  # (N, p, p, p)
@@ -129,17 +242,26 @@ class SlidingWindowEngine:
             softmax_stack, sigma_stack = self.predictor(
                 stacked_variables, x, rng)                # (S, N, p,p,p, C)
             num_classes = softmax_stack.shape[-1]
+            if wmap is not None:
+                # weight EVERY stitched quantity: normalized outputs become
+                # Gaussian-weighted averages; data/seg are unchanged since
+                # overlapping windows agree on their values
+                softmax_stack = softmax_stack * wmap[..., None]
+                windows = windows * wmap
+                cover = jnp.broadcast_to(wmap, (n_windows, p, p, p))
+            else:
+                cover = jnp.ones((n_windows, p, p, p), dtype=self.dtype)
 
             def stitch_sample(sample):  # (N, p, p, p, C) -> (D,H,W,C)
                 return stitch_windows(sample, starts,
                                       tuple(vol_shape) + (num_classes,))
 
             stitched = jax.vmap(stitch_sample)(softmax_stack)
-            sigma_stitched = (jax.vmap(stitch_sample)(sigma_stack)
-                              if sigma_stack is not None else None)
-            counts = stitch_windows(
-                jnp.ones((n_windows, p, p, p), dtype=self.dtype),
-                starts, tuple(vol_shape))
+            sigma_stitched = (jax.vmap(stitch_sample)(
+                sigma_stack * wmap[..., None] if wmap is not None
+                else sigma_stack)
+                if sigma_stack is not None else None)
+            counts = stitch_windows(cover, starts, tuple(vol_shape))
             data_sums = stitch_windows(windows, starts, tuple(vol_shape))
             return stitched, sigma_stitched, counts, data_sums
 
@@ -172,16 +294,37 @@ class SlidingWindowEngine:
         chunks = [starts[i:i + chunk]
                   for i in range(0, len(starts), chunk)]
 
+        window_sharded = self.mesh_strategy == "window"
+        n_data = self.mesh.shape["data"] if window_sharded else 1
+
         volume_dev = jnp.asarray(volume, dtype=self.dtype)
         stitched = sigma_stitched = counts = data_sums = None
         for part in chunks:
-            key = (vol_shape, len(part))
-            if key not in self._process_cache:
-                self._process_cache[key] = self._build_process_fn(
-                    vol_shape, len(part))
-            out = self._process_cache[key](
-                volume_dev, jnp.asarray(part), self.stacked_variables,
-                self._next_rng())
+            if window_sharded:
+                # pad to the data-axis width with zero-masked windows
+                n_valid = len(part)
+                padded = int(np.ceil(n_valid / n_data) * n_data)
+                mask = np.zeros((padded,), dtype=np.float32)
+                mask[:n_valid] = 1.0
+                if padded != n_valid:
+                    part = np.concatenate(
+                        [part, np.repeat(part[-1:], padded - n_valid,
+                                         axis=0)], axis=0)
+                key = (vol_shape, padded, "window")
+                if key not in self._process_cache:
+                    self._process_cache[key] = (
+                        self._build_sharded_process_fn(vol_shape, padded))
+                out = self._process_cache[key](
+                    volume_dev, jnp.asarray(part), jnp.asarray(mask),
+                    self.stacked_variables, self._next_rng())
+            else:
+                key = (vol_shape, len(part))
+                if key not in self._process_cache:
+                    self._process_cache[key] = self._build_process_fn(
+                        vol_shape, len(part))
+                out = self._process_cache[key](
+                    volume_dev, jnp.asarray(part), self.stacked_variables,
+                    self._next_rng())
             if stitched is None:
                 stitched, sigma_stitched, counts, data_sums = out
             else:
@@ -196,15 +339,40 @@ class SlidingWindowEngine:
                       if sigma_stitched is not None else None)
         counts_np = np.asarray(counts)
         data_np = np.asarray(data_sums)
+        if self.weight_mode == "gaussian":
+            # hand downstream already-normalized quantities with a unit
+            # count map: every reference formula (uncertainty on raw sums,
+            # seg/data division, metrics) then consumes proper Gaussian-
+            # weighted averages — the parity-relevant uniform path is
+            # untouched
+            denom = np.where(counts_np == 0, 1, counts_np)
+            softmax_sums = softmax_sums / denom
+            data_np = data_np / denom
+            if sigma_sums is not None:
+                sigma_sums = sigma_sums / denom
+            counts_np = np.ones_like(counts_np)
 
         seg_sums = None
         if labels is not None:
             seg_windows = extract_windows(
                 jnp.asarray(labels.astype(np.float32)).transpose(1, 2, 3, 0),
                 jnp.asarray(starts), self.patch_size)
+            wmap = self._window_weight(jnp.float32)
+            if wmap is not None:
+                seg_windows = seg_windows * wmap[..., None]
             seg = stitch_windows(seg_windows, jnp.asarray(starts),
                                  vol_shape + (labels.shape[0],))
             seg_sums = np.moveaxis(np.asarray(seg), -1, 0)
+            if wmap is not None:
+                # integer rater labels, exactly recovered from the
+                # weighted average (windows agree on label values); rint
+                # guards the w/w float rounding ahead of int casts
+                wsum = np.asarray(stitch_windows(
+                    jnp.broadcast_to(wmap, (len(starts),)
+                                     + (self.patch_size,) * 3),
+                    jnp.asarray(starts), vol_shape))
+                seg_sums = np.rint(
+                    seg_sums / np.where(wsum == 0, 1, wsum))
         return softmax_sums, counts_np, data_np, seg_sums, sigma_sums
 
     # -----------------------------------------------------------------

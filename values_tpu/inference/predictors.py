@@ -75,30 +75,45 @@ def make_default_predictor(model, n_models: int, n_pred: int,
     return predict
 
 
-def make_tta_predictor(model, n_models: int) -> Callable:
-    """(stacked_variables, x, rng) -> (n_models * 16, B, *sp, C)."""
+def make_tta_predictor(model, n_models: int,
+                       stochastic: Optional[bool] = None) -> Callable:
+    """(stacked_variables, x, rng) -> (n_models * 16, B, *sp, C).
+
+    ``stochastic`` (default: the model's do_dropout) reproduces the
+    reference's TTA x dropout semantics: models are never switched to
+    eval mode, so nn.Dropout stays LIVE during every TTA variant
+    (test_3D.py:222-247 loads train-mode models; :427-456 runs the TTA
+    loop on them) — each of the 16 variants draws its own dropout mask.
+    """
+    if stochastic is None:
+        stochastic = bool(getattr(model, "do_dropout", False))
+
     def predict(stacked_variables, x, rng):
-        var_key, noise_key = jax.random.split(rng)
+        var_key, noise_key, drop_key = jax.random.split(rng, 3)
         # batchgenerators' augment_gaussian_noise draws "variance" ~ U(0,0.1)
         # but passes it as np.random.normal's *scale* (std) — reproduce that.
         variance = jax.random.uniform(var_key, (), minval=0.0, maxval=0.1)
         noise = jax.random.normal(noise_key, x.shape, dtype=x.dtype)
         x_noise = x + noise * variance
 
-        def all_variants(variables, inp):
-            outs = [_apply_softmax(model, variables, inp)]
-            for axes in FLIP_COMBOS:
+        def all_variants(variables, inp, keys):
+            outs = [_apply_softmax(model, variables, inp, keys[0],
+                                   stochastic)]
+            for fi, axes in enumerate(FLIP_COMBOS):
                 flipped = jnp.flip(inp, axis=axes)
-                out = _apply_softmax(model, variables, flipped)
+                out = _apply_softmax(model, variables, flipped,
+                                     keys[fi + 1], stochastic)
                 outs.append(jnp.flip(out, axis=axes))
             return jnp.stack(outs)  # (8, B, *sp, C)
 
-        def per_model(variables):
-            clean = all_variants(variables, x)
-            noisy = all_variants(variables, x_noise)
+        def per_model(variables, model_key):
+            keys = jax.random.split(model_key, 16)
+            clean = all_variants(variables, x, keys[:8])
+            noisy = all_variants(variables, x_noise, keys[8:])
             return jnp.concatenate([clean, noisy])  # (16, B, *sp, C)
 
-        out = jax.vmap(per_model)(stacked_variables)
+        model_keys = jax.random.split(drop_key, n_models)
+        out = jax.vmap(per_model)(stacked_variables, model_keys)
         return out.reshape((n_models * 16,) + out.shape[2:]), None
 
     return predict

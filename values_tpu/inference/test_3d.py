@@ -45,6 +45,11 @@ def test_cli(argv=None) -> argparse.Namespace:
                         action="store_false", default=True,
                         help="disable the MXU-optimized grouped-conv "
                              "ensemble lowering")
+    parser.add_argument("--weight_mode", type=str, default="uniform",
+                        choices=("uniform", "gaussian"),
+                        help="stitching weight for overlapping windows: "
+                             "uniform (reference parity) or a Gaussian "
+                             "importance map")
     return parser.parse_args(argv)
 
 
@@ -115,7 +120,9 @@ def build_engine(hparams: Dict, variables_list: List, args,
         patch_size=hparams["datamodule"]["patch_size"],
         patch_overlap=hparams["datamodule"]["patch_overlap"],
         dtype=dtype, seed=hparams.get("seed", 123),
-        use_grouped_ensemble=getattr(args, "grouped_ensemble", True))
+        window_batch=getattr(args, "test_batch_size", 12) or 12,
+        use_grouped_ensemble=getattr(args, "grouped_ensemble", True),
+        weight_mode=getattr(args, "weight_mode", "uniform"))
     return engine, is_ssn
 
 

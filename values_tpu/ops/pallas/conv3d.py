@@ -157,7 +157,8 @@ def choose_tiling(cout: int, d: int, h: int,
     n = qd * qh * cout
 
     def vmem_bytes(sd_):
-        x_tiles = 3 * (sd_ + 2) * (h + 2) * cin * LANES * 2
+        # 2 double-buffered raw tiles + 2 kw-roll variants
+        x_tiles = 4 * (sd_ + 2) * (h + 2) * cin * LANES * 2
         out_blocks = 2 * sd_ * h * cout * LANES * 2
         weights = 2 * n * k * 2
         return x_tiles + out_blocks + weights
@@ -174,20 +175,41 @@ def choose_tiling(cout: int, d: int, h: int,
 # The kernel
 # ---------------------------------------------------------------------------
 
-def _conv_kernel(x_hbm, bw_ref, bb_ref, out_ref, x3_vmem, sem,
+def _conv_kernel(x_hbm, bw_ref, bb_ref, out_ref, raw_vmem, x3_vmem, sem,
                  *, cin: int, cout: int, qd: int, qh: int, sd: int,
                  h: int, w_item: int, out_dtype):
     ib = pl.program_id(0)
     g = pl.program_id(1)
     idd = pl.program_id(2)
+    ng = pl.num_programs(1)
+    nd = pl.num_programs(2)
+    total = pl.num_programs(0) * ng * nd
 
-    # one (d, h)-haloed x region per cell, DMA'd into the kw=1 slot of the
-    # 3-variant tile buffer: (3, sd+2, h+2, cin, 128)
-    dma = pltpu.make_async_copy(
-        x_hbm.at[ib, pl.ds(idd * sd, sd + 2), :, pl.ds(g * cin, cin), :],
-        x3_vmem.at[1], sem)
-    dma.start()
-    dma.wait()
+    # double-buffered x DMA across grid cells: cell L waits on the copy
+    # started during cell L-1 and prefetches cell L+1, so the HBM reads
+    # ride under the GEMMs instead of serializing with them.
+    lin = (ib * ng + g) * nd + idd
+    slot = jax.lax.rem(lin, 2)
+    nxt = lin + 1
+    n_idd = jax.lax.rem(nxt, nd)
+    n_g = jax.lax.rem(nxt // nd, ng)
+    n_ib = nxt // (nd * ng)
+
+    def x_dma(l_ib, l_g, l_idd, l_slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[l_ib, pl.ds(l_idd * sd, sd + 2), :,
+                     pl.ds(l_g * cin, cin), :],
+            raw_vmem.at[l_slot], sem.at[l_slot])
+
+    @pl.when(lin == 0)
+    def _():
+        x_dma(ib, g, idd, slot).start()
+
+    @pl.when(nxt < total)
+    def _():
+        x_dma(n_ib, n_g, n_idd, 1 - slot).start()
+
+    x_dma(ib, g, idd, slot).wait()
 
     bw = bw_ref[0]           # (N, K) banded weights for member g
     bb = bb_ref[0]           # (N, 1) bias rows
@@ -208,12 +230,12 @@ def _conv_kernel(x_hbm, bw_ref, bb_ref, out_ref, x3_vmem, sem,
     # hoist the kw lane-shifts: build the 3 shifted/masked tile variants
     # ONCE per cell so the per-GEMM A build is pure slices + concat.
     # Item-boundary masks realize the SAME-padding zeros.
-    raw = x3_vmem[1].reshape(rows, LANES)
+    raw = raw_vmem[slot].reshape(rows, LANES)
     lane_w = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1) % w_item
     zero = jnp.zeros_like(raw)
     x3_vmem[0] = jnp.where(lane_w != 0, lane_roll(raw, 1),
                            zero).reshape(x3_vmem.shape[1:])
-    x3_vmem[2] = jnp.where(lane_w != w_item - 1, lane_roll(raw, LANES - 1),
+    x3_vmem[1] = jnp.where(lane_w != w_item - 1, lane_roll(raw, LANES - 1),
                            zero).reshape(x3_vmem.shape[1:])
 
     # lane-batch nq output blocks per dot: a lone (128, K)@(K, 128) GEMM
@@ -225,11 +247,17 @@ def _conv_kernel(x_hbm, bw_ref, bb_ref, out_ref, x3_vmem, sem,
     def body(i, _):
         d0 = (i // (n_hblk // nq)) * qd
         h0 = (i % (n_hblk // nq)) * (qh * nq)
+
+        def piece(buf, kw_idx, q):
+            return buf[kw_idx, pl.ds(d0, qd + 2),
+                       pl.ds(h0 + q * qh, qh + 2), :, :].reshape(ksub,
+                                                                 LANES)
+
         a_mat = jnp.concatenate([
             jnp.concatenate([
-                x3_vmem[kw, pl.ds(d0, qd + 2),
-                        pl.ds(h0 + q * qh, qh + 2), :, :]
-                .reshape(ksub, LANES) for kw in range(3)
+                piece(x3_vmem, 0, q),      # kw=0 (rolled +1, masked)
+                piece(raw_vmem, slot, q),  # kw=1 (raw)
+                piece(x3_vmem, 1, q),      # kw=2 (rolled -1, masked)
             ], axis=0)
             for q in range(nq)
         ], axis=1)                                   # (3*ksub, nq*128)
@@ -237,13 +265,13 @@ def _conv_kernel(x_hbm, bw_ref, bb_ref, out_ref, x3_vmem, sem,
             bw, a_mat, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)      # (N, nq*128)
         out = (out + bb).astype(out_dtype)
+        # the row order (dd, dh, co) makes each lane-block's full (N, 128)
+        # output one contiguous (qd, qh, cout, 128) region per d-row
         for q in range(nq):
+            blk = out[:, q * LANES:(q + 1) * LANES].reshape(
+                qd, qh, cout, LANES)
             for dd in range(qd):
-                for dh in range(qh):
-                    row = (dd * qh + dh) * cout
-                    out_ref[0, d0 + dd, h0 + q * qh + dh, :, :] = (
-                        out[row:row + cout,
-                            q * LANES:(q + 1) * LANES])
+                out_ref[0, d0 + dd, pl.ds(h0 + q * qh, qh), :, :] = blk[dd]
         return 0
 
     jax.lax.fori_loop(0, (sd // qd) * (n_hblk // nq), body, 0,
@@ -317,8 +345,9 @@ def conv3d_banded_packed(x: jnp.ndarray, kernel: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((nb, d, h, groups * cout, LANES),
                                        x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((3, sd + 2, h + 2, cin, LANES), x.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, sd + 2, h + 2, cin, LANES), x.dtype),  # raw x2
+            pltpu.VMEM((2, sd + 2, h + 2, cin, LANES), x.dtype),  # kw 0/2
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
             # one (N,K)@(K,128) GEMM per output block

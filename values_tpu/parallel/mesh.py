@@ -64,18 +64,33 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
             if isinstance(v, (np.ndarray, jnp.ndarray))}
 
 
+def resolve_device_count(value, available: Optional[int] = None) -> int:
+    """Parse a ``devices`` / reference ``gpus`` config value: int, numeric
+    string (the reference uses ``gpus: '1'``), or "all"/-1 for every
+    visible device."""
+    if value is None:
+        return 1
+    if isinstance(value, str) and value.strip().lower() in ("all", "-1"):
+        return available if available is not None else len(jax.devices())
+    n = int(value)
+    if n == -1:
+        return available if available is not None else len(jax.devices())
+    return max(1, n)
+
+
 def make_parallel_train_step(experiment, mesh: Mesh):
     """jit the experiment's update over the mesh: batch sharded along
     ``data``, params/opt-state replicated. XLA inserts the gradient psum
-    across data shards automatically (SPMD)."""
+    across data shards automatically (SPMD). ``pretrain`` (SSN
+    pretrain-then-sample phase) is a static argument."""
     rep = replicated(mesh)
     data_shard = batch_sharding(mesh)
 
-    def step(state, batch, rng):
-        return experiment.train_step_fn(state, batch, rng, False)
+    def step(state, batch, rng, pretrain=False):
+        return experiment.train_step_fn(state, batch, rng, pretrain)
 
     return jax.jit(
-        step,
+        step, static_argnums=(3,),
         in_shardings=(rep, {"data": data_shard, "seg": data_shard}, rep),
         out_shardings=(rep, rep))
 

@@ -24,10 +24,12 @@ from .experiment import Experiment
 from .tb_logging import TensorBoardLogger
 
 
-def _device_batch(batch: Dict) -> Dict:
-    out = {"data": jnp.asarray(batch["data"])}
+def _device_batch(batch: Dict, sharding=None) -> Dict:
+    put = ((lambda x: jax.device_put(jnp.asarray(x), sharding))
+           if sharding is not None else jnp.asarray)
+    out = {"data": put(batch["data"])}
     if "seg" in batch:
-        out["seg"] = jnp.asarray(batch["seg"])
+        out["seg"] = put(batch["seg"])
     return out
 
 
@@ -123,6 +125,29 @@ def fit(cfg: Config, max_steps_override: Optional[int] = None,
     datamodule.setup()
 
     experiment = Experiment(cfg)
+
+    # -- device mesh (production data parallelism) ----------------------
+    # `devices` (ours) or `gpus` (reference schema, configs/*.yaml:13)
+    # selects the data-parallel width; "all"/-1 takes every visible chip.
+    from ..parallel.mesh import (batch_sharding, make_mesh,
+                                 make_parallel_train_step, replicated,
+                                 resolve_device_count)
+    n_devices = resolve_device_count(
+        cfg.get("devices", cfg.get("gpus")), available=len(jax.devices()))
+    if n_devices > len(jax.devices()):
+        print(f"requested {n_devices} devices but only "
+              f"{len(jax.devices())} visible on "
+              f"{jax.devices()[0].platform}; clamping")
+        n_devices = len(jax.devices())
+    mesh = None
+    train_sharding = None
+    if n_devices > 1:
+        mesh = make_mesh(n_data=n_devices, n_sample=1,
+                         devices=jax.devices()[:n_devices])
+        train_sharding = batch_sharding(mesh)
+        parallel_step = make_parallel_train_step(experiment, mesh)
+        print(f"data-parallel over {mesh.shape} mesh")
+
     rng = jax.random.PRNGKey(int(cfg.get("seed", 123)))
     rng, init_rng = jax.random.split(rng)
     if is_2d:
@@ -154,6 +179,8 @@ def fit(cfg: Config, max_steps_override: Optional[int] = None,
         global_step = int(payload.get("global_step", 0))
         print(f"Resumed from {resume_from} at epoch {start_epoch}, "
               f"step {global_step}")
+    if mesh is not None:
+        state = jax.device_put(state, replicated(mesh))
 
     max_epochs = int(cfg.get("max_epochs", 1))
     train_loader = datamodule.train_dataloader()
@@ -180,16 +207,34 @@ def fit(cfg: Config, max_steps_override: Optional[int] = None,
         pretrain = experiment.is_ssn and epoch < experiment.pretrain_epochs
         epoch_losses = []
         for batch in train_loader:
+            if mesh is not None and len(batch["data"]) % n_devices:
+                # PL's DistributedSampler analog: a ragged tail batch
+                # cannot shard evenly; drop it (deterministic, logged once)
+                if not getattr(fit, "_ragged_warned", False):
+                    fit._ragged_warned = True
+                    print(f"dropping ragged batch of {len(batch['data'])} "
+                          f"(not divisible by {n_devices} devices)")
+                continue
             if schedule.kind == "polynomial":
                 state = state._replace(opt_state=optim.set_learning_rate(
                     state.opt_state, schedule.value(global_step)))
             rng, step_rng = jax.random.split(rng)
-            state, loss = experiment.train_step(
-                state, _device_batch(batch), step_rng, pretrain)
+            if mesh is not None:
+                state, loss = parallel_step(
+                    state, _device_batch(batch, train_sharding), step_rng,
+                    pretrain)
+            else:
+                state, loss = experiment.train_step(
+                    state, _device_batch(batch), step_rng, pretrain)
             epoch_losses.append(loss)
             global_step += 1
             if max_steps_override and global_step >= max_steps_override:
                 break
+        if not epoch_losses:
+            raise RuntimeError(
+                f"epoch {epoch} ran zero steps: every batch was smaller "
+                f"than the {n_devices}-device mesh width (train set too "
+                "small for the configured batch_size/devices)")
         train_loss = float(jnp.mean(jnp.stack(epoch_losses)))
         logger.log_scalars(
             {"training/train_loss": train_loss,

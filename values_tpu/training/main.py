@@ -22,6 +22,8 @@ DEFAULT_CONFIG_DIR = str(Path(__file__).resolve().parents[2] / "configs")
 
 
 def main(argv=None) -> None:
+    from ..core.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--config-name", "-cn", default="softmax_config")
     parser.add_argument("--config-dir", "-cd", default=DEFAULT_CONFIG_DIR)
