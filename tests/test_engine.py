@@ -316,3 +316,60 @@ def test_tta_with_dropout_keeps_masks_live(rng):
     plain = SlidingWindowEngine(det, [dv], mode="default", n_pred=1,
                                 patch_size=P).run_volume(vol)[0]
     np.testing.assert_allclose(sd_[0], plain[0], atol=2e-3)
+
+
+def test_engine_grouped_aleatoric_matches_vmapped(rng):
+    """Grouped aleatoric ensemble == vmapped per-member path: identical
+    epsilon draws (same key tree), forwards to float tolerance."""
+    model = UNet3D(num_classes=2, initial_filter_size=2,
+                   aleatoric_loss=True)
+    init = jax.jit(model.init)
+    members = [init(k, jnp.zeros((1, P, P, P, 1)))
+               for k in jax.random.split(jax.random.PRNGKey(0), 2)]
+    vol = rng.rand(P, P, P).astype(np.float32)
+    ref = SlidingWindowEngine(model, members, mode="aleatoric",
+                              n_aleatoric_samples=3, patch_size=P, seed=9,
+                              use_grouped_ensemble=False)
+    grp = SlidingWindowEngine(model, members, mode="aleatoric",
+                              n_aleatoric_samples=3, patch_size=P, seed=9,
+                              use_grouped_ensemble=True)
+    assert grp.predictor is not ref.predictor
+    sr, cr, dr, _, sig_r = ref.run_volume(vol)
+    sg, cg, dg, _, sig_g = grp.run_volume(vol)
+    assert sg.shape == sr.shape == (6, 2, P, P, P)
+    np.testing.assert_allclose(sg, sr, atol=2e-3)
+    np.testing.assert_allclose(sig_g, sig_r, atol=2e-3)
+
+
+def test_engine_grouped_ssn_matches_vmapped_trunk(rng):
+    """Grouped SSN ensemble: distribution parameters from the grouped
+    trunk + per-member heads match the single-model SSN module member by
+    member; sampling produces finite softmax stacks in model-major order."""
+    from values_tpu.models.ssn_unet3d import SsnUNet3D
+    from values_tpu.models.ensemble_unet3d import (
+        group_member_variables, make_grouped_ssn_predictor)
+    model = SsnUNet3D(num_classes=2, initial_filter_size=2, rank=3)
+    init = jax.jit(model.init)
+    members = [init(k, jnp.zeros((1, P, P, P, 1)))
+               for k in jax.random.split(jax.random.PRNGKey(1), 2)]
+    x = jnp.asarray(rng.rand(1, P, P, P, 1), dtype=jnp.float32)
+
+    grouped_vars = jax.tree_util.tree_map(
+        jnp.asarray, group_member_variables(members))
+    _, predict = make_grouped_ssn_predictor(2, 2, 2, n_pred=4, rank=3)
+    stack, sigma = predict(grouped_vars, x, jax.random.PRNGKey(2))
+    assert sigma is None
+    assert stack.shape == (8, 1, P, P, P, 2)
+    assert np.all(np.isfinite(np.asarray(stack)))
+
+    # engine-level: grouped vs per-member single-SSN runs
+    grp = SlidingWindowEngine(model, members, mode="ssn", n_pred=4,
+                              patch_size=P, seed=11,
+                              use_grouped_ensemble=True)
+    vol = rng.rand(P, P, P).astype(np.float32)
+    sg, *_ = grp.run_volume(vol)
+    assert sg.shape == (8, 2, P, P, P)
+    # mean over many draws approaches the per-member softmax(mean logits);
+    # cheap sanity: members differ, draws differ
+    assert not np.allclose(sg[0], sg[4])
+    assert not np.allclose(sg[0], sg[1])

@@ -85,7 +85,8 @@ class SlidingWindowEngine:
             # weights n_pred times — the grouped dropout mask realizes the
             # independent MC passes.
             from ..models.ensemble_unet3d import (
-                group_member_variables, make_grouped_ensemble_predictor,
+                group_member_variables, make_grouped_aleatoric_predictor,
+                make_grouped_ensemble_predictor, make_grouped_ssn_predictor,
                 make_grouped_tta_predictor)
             if mode == "tta":
                 member_list = []
@@ -94,6 +95,19 @@ class SlidingWindowEngine:
                 _, grouped = make_grouped_tta_predictor(
                     model.num_classes, self.n_models,
                     model.initial_filter_size, dtype=dtype)
+            elif mode == "aleatoric":
+                member_list = list(variables_list)
+                _, grouped = make_grouped_aleatoric_predictor(
+                    model.num_classes, self.n_models,
+                    model.initial_filter_size,
+                    n_aleatoric_samples=n_aleatoric_samples, dtype=dtype)
+            elif mode == "ssn":
+                member_list = list(variables_list)
+                _, grouped = make_grouped_ssn_predictor(
+                    model.num_classes, self.n_models,
+                    model.initial_filter_size, n_pred=n_pred,
+                    rank=getattr(model, "rank", 10),
+                    epsilon=getattr(model, "epsilon", 1e-5), dtype=dtype)
             else:
                 mc_dropout = bool(getattr(model, "do_dropout", False))
                 member_list = (list(variables_list) * n_pred if mc_dropout
@@ -107,6 +121,8 @@ class SlidingWindowEngine:
 
             def predictor(variables, x, rng):
                 stack, sigma = grouped(variables, x, rng)
+                if sigma is not None:
+                    sigma = sigma.astype(jnp.float32)
                 return stack.astype(jnp.float32), sigma
             self.predictor = predictor
         else:
@@ -140,10 +156,16 @@ class SlidingWindowEngine:
         self.predictor = lambda v, x, rng: (sharded(v, x, rng), None)
 
     def _grouped_eligible(self, model: Any) -> bool:
+        from ..models.ssn_unet3d import SsnUNet3D
         from ..models.unet3d import UNet3D
-        if type(model) is not UNet3D or getattr(model, "aleatoric_loss",
-                                                False):
+        if type(model) is SsnUNet3D:
+            # SSN deep ensemble: grouped trunk + per-member heads
+            return self.mode == "ssn" and self.n_models > 1
+        if type(model) is not UNet3D:
             return False
+        if getattr(model, "aleatoric_loss", False):
+            # aleatoric ensemble: one grouped (mu, s) forward per window
+            return self.mode == "aleatoric" and self.n_models > 1
         if self.mode == "tta":
             # TTA variants as channel groups (16 per member)
             return not getattr(model, "do_dropout", False)

@@ -74,6 +74,7 @@ class EnsembleUNet3D(nn.Module):
     kernel_size: int = 3
     do_instancenorm: bool = True
     do_dropout: bool = False
+    aleatoric: bool = False  # final head emits (mu, s): 2C per member
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -111,7 +112,8 @@ class EnsembleUNet3D(nn.Module):
         return out.reshape(*sh, out.shape[-2] * out.shape[-1])
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 last_layer: bool = True) -> jnp.ndarray:
         f = self.initial_filter_size
         if x.shape[-1] == self.in_channels:
             x = jnp.tile(x, (1,) * (x.ndim - 1) + (self.members,))
@@ -163,6 +165,14 @@ class EnsembleUNet3D(nn.Module):
         expand = self._block(self._block(e, "expand_1_1", f, norm=False),
                              "expand_1_2", f, norm=False)
 
+        if not last_layer:  # SSN trunk: pre-head features (B,*sp,M*f)
+            return expand
+        if self.aleatoric:
+            out = self._conv(expand, "final_aleatoric",
+                             2 * self.num_classes, 1)
+            b, d, h, w, _ = out.shape
+            return out.reshape(b, d, h, w, self.members,
+                               2 * self.num_classes)
         out = self._conv(expand, "final", self.num_classes, 1)
         b, d, h, w, _ = out.shape
         return out.reshape(b, d, h, w, self.members, self.num_classes)
@@ -192,7 +202,12 @@ def group_member_variables(member_variables: List[Dict],
             "kernel": np.concatenate(kernels, axis=-1).astype(dtype),
             "bias": np.concatenate(biases, axis=-1).astype(dtype),
         }
-    for name in ("center_conv1", "center_conv2", "final"):
+    # bottleneck convs and whichever 1x1x1 heads the member model carries
+    # (plain / aleatoric / SSN heads all stack along the output channels)
+    head_names = ("center_conv1", "center_conv2", "final",
+                  "final_aleatoric", "mean_conv", "log_cov_diag_conv",
+                  "cov_factor_conv")
+    for name in (n for n in head_names if n in member_params[0]):
         kernels = [np.asarray(p[name]["kernel"]) for p in member_params]
         biases = [np.asarray(p[name]["bias"]) for p in member_params]
         params[name] = {
@@ -230,6 +245,108 @@ def make_grouped_ensemble_predictor(num_classes: int, members: int,
         return jnp.moveaxis(probs, -2, 0), None  # (M, B, D, H, W, C)
 
     return model, predict
+
+
+def make_grouped_aleatoric_predictor(num_classes: int, members: int,
+                                     initial_filter_size: int = 8,
+                                     n_aleatoric_samples: int = 10,
+                                     dtype=jnp.float32):
+    """Aleatoric deep ensemble as ONE grouped forward: M members' (mu, s)
+    heads fused into the channel dimension, then per-member logit
+    sampling mu + sigma*eps (reference loop: test_3D.py:458-469).
+
+    Sampling draws per-member keys exactly like the vmapped
+    make_aleatoric_predictor (same split tree, same shapes), so the two
+    paths agree bitwise in their epsilon draws and to float tolerance in
+    the forwards. Returns (model, predict) with predict -> ((M*S, B, *sp,
+    C) softmax stack, (M*S, ...) sigma stack, same ordering: model-major).
+    """
+    model = EnsembleUNet3D(num_classes=num_classes, members=members,
+                           initial_filter_size=initial_filter_size,
+                           aleatoric=True, dtype=dtype)
+
+    def predict(grouped_variables, x, rng):
+        out = model.apply(grouped_variables, x)   # (B, *sp, M, 2C)
+        mu, s = jnp.split(out, 2, axis=-1)
+        mu = jnp.moveaxis(mu, -2, 0)              # (M, B, *sp, C)
+        sigma = jnp.exp(jnp.moveaxis(s, -2, 0) / 2.0)
+        keys = jax.random.split(rng, members)
+
+        def per_member(mu_m, sigma_m, key):
+            eps = jax.random.normal(
+                key, (n_aleatoric_samples,) + mu_m.shape,
+                dtype=mu_m.dtype)
+            logits = mu_m[None] + sigma_m[None] * eps
+            sigma_rep = jnp.broadcast_to(
+                sigma_m[None], (n_aleatoric_samples,) + sigma_m.shape)
+            return jax.nn.softmax(logits, axis=-1), sigma_rep
+
+        probs, sigmas = jax.vmap(per_member)(mu, sigma, keys)
+        s_total = members * n_aleatoric_samples
+        return (probs.reshape((s_total,) + probs.shape[2:]),
+                sigmas.reshape((s_total,) + sigmas.shape[2:]))
+
+    return model, predict
+
+
+def make_grouped_ssn_predictor(num_classes: int, members: int,
+                               initial_filter_size: int = 8,
+                               n_pred: int = 1, rank: int = 10,
+                               epsilon: float = 1e-5, dtype=jnp.float32):
+    """SSN deep ensemble as one grouped trunk forward + per-member heads.
+
+    The reference's SSN path is single-model (test_3D.py:361-396); this
+    lowering extends it to M members: the UNet trunks fuse into grouped
+    convolutions, the three 1x1x1 heads stay per-member (einsum over the
+    member axis), and ONE batched LowRankMVN over batch M*B draws
+    ``n_pred`` samples per member. Output ordering is model-major like
+    every other predictor: (M * n_pred, B, *sp, C).
+    """
+    from .ssn_unet3d import LowRankMVN
+
+    trunk = EnsembleUNet3D(num_classes=num_classes, members=members,
+                           initial_filter_size=initial_filter_size,
+                           dtype=dtype)
+
+    def predict(grouped_variables, x, rng):
+        feats = trunk.apply(grouped_variables, x, last_layer=False)
+        b = x.shape[0]
+        spatial = feats.shape[1:-1]
+        f = feats.shape[-1] // members
+        fm = feats.reshape(feats.shape[:-1] + (members, f))
+        p = grouped_variables["params"]
+
+        def head(name, cout):   # per-member 1x1x1 conv -> (M, B, *sp, cout)
+            k = p[name]["kernel"].reshape(f, members, cout)
+            bias = p[name]["bias"].reshape(members, cout)
+            out = jnp.einsum("b...mi,imo->b...mo", fm, k) + bias
+            return jnp.moveaxis(out, -2, 0)
+
+        def flatten_cf(t):      # (M, B, *sp, C) -> (M*B, C*V) torch order
+            t = jnp.moveaxis(t, -1, 2)
+            return t.reshape((members * b, -1))
+
+        mean = flatten_cf(head("mean_conv", num_classes))
+        cov_diag = jnp.exp(flatten_cf(
+            head("log_cov_diag_conv", num_classes))) + epsilon
+        raw = head("cov_factor_conv", num_classes * rank)
+        raw = jnp.moveaxis(raw, -1, 2)            # (M, B, C*R, *sp)
+        raw = raw.reshape(members * b, rank, num_classes, -1)
+        cov_factor = jnp.swapaxes(raw.reshape(members * b, rank, -1), 1, 2)
+
+        dist = LowRankMVN(mean=mean, cov_diag=cov_diag,
+                          cov_factor=cov_factor,
+                          event_shape=(num_classes,) + spatial)
+        samples = dist.sample(rng, (n_pred,))     # (S, M*B, C*V)
+        samples = samples.reshape((n_pred, members, b, num_classes)
+                                  + spatial)
+        samples = jnp.moveaxis(samples, 1, 0)     # (M, S, B, C, *sp)
+        logits = samples.reshape((members * n_pred, b, num_classes)
+                                 + spatial)
+        logits = jnp.moveaxis(logits, 2, -1)
+        return jax.nn.softmax(logits, axis=-1), None
+
+    return trunk, predict
 
 
 def make_grouped_tta_predictor(num_classes: int, members: int,
