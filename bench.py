@@ -111,6 +111,42 @@ def build_workload():
     return step, run_pool, stacked
 
 
+USEFUL_FLOPS_PER_VOLUME = 37.7e9   # fwd convs+transpose-convs, ensemble-5
+PEAK_BF16 = 197e12                 # v5e
+
+
+def measure_reference_torch_cpu(n_volumes: int = 2) -> float:
+    """Measured anchor: the reference's own UNet3D (imported read-only
+    from /root/reference as an oracle, like the parity tests) running
+    ensemble-5 float64 inference per its test loop semantics
+    (model.double(), test_3D.py:425), on this host's CPU. Returns
+    volumes/sec; 0.0 if torch or the reference is unavailable."""
+    try:
+        import sys
+        import torch
+        sys.path.insert(0, "/root/reference/uncertainty_modeling/models")
+        from unet3D_module import UNet3D as TorchUNet3D  # noqa
+        models = []
+        torch.manual_seed(0)
+        for _ in range(N_MEMBERS):
+            m = TorchUNet3D(num_classes=2, initial_filter_size=8)
+            m.double()
+            m.train()  # reference never calls .eval()
+            models.append(m)
+        x = torch.rand(1, 1, PATCH, PATCH, PATCH, dtype=torch.float64)
+        with torch.no_grad():
+            for m in models:   # warmup
+                torch.softmax(m(x), dim=1)
+            t0 = time.perf_counter()
+            for _ in range(n_volumes):
+                for m in models:
+                    torch.softmax(m(x), dim=1)
+            dt = time.perf_counter() - t0
+        return n_volumes / dt
+    except Exception:
+        return 0.0
+
+
 def main() -> None:
     import os
     import jax
@@ -122,7 +158,7 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-    _step, run_pool, stacked = build_workload()
+    _step, run_pool, stacked = build_workload()  # _step reused for e2e
     rng = jax.random.PRNGKey(7)
     rs = np.random.RandomState(0)
 
@@ -164,12 +200,37 @@ def main() -> None:
     assert np.all(np.isfinite(all_scores))
 
     volumes_per_sec = per_dispatch_volumes / best
+
+    # end-to-end variant: every batch uploaded from HOST memory before its
+    # step (device_put + step + scalar fetch per batch). In this container
+    # the H2D path crosses a relay tunnel with multi-hundred-ms jitter, so
+    # this number measures the environment as much as the machine; on a
+    # real TPU host the gap to the staged number is the input pipeline's
+    # H2D cost.
+    host_vols = np.asarray(vol_pool)
+    host_gts = np.asarray(gt_pool)
+    e2e_batches = 8
+    _ = np.asarray(_step(stacked, vol_pool[0], gt_pool[0], rng))  # warm
+    t0 = time.perf_counter()
+    for i in range(e2e_batches):
+        vols = jnp.asarray(host_vols[i % K_POOL])
+        gts = jnp.asarray(host_gts[i % K_POOL])
+        np.asarray(_step(stacked, vols, gts, rng))
+    e2e_vps = e2e_batches * BATCH / (time.perf_counter() - t0)
+
+    mfu = volumes_per_sec * USEFUL_FLOPS_PER_VOLUME / PEAK_BF16
+    ref_cpu = measure_reference_torch_cpu()
     print(json.dumps({
         "metric": "lidc_ensemble5_entropy_inference_throughput",
         "value": round(volumes_per_sec, 2),
         "unit": "volumes/sec/chip",
         "vs_baseline": round(
             volumes_per_sec / REFERENCE_A100_VOLUMES_PER_SEC, 2),
+        "baseline_kind": "estimated_a100_fp64",
+        "staged_volumes_per_sec": round(volumes_per_sec, 2),
+        "end_to_end_volumes_per_sec": round(e2e_vps, 2),
+        "mfu": round(mfu, 4),
+        "measured_reference_torch_cpu_volumes_per_sec": round(ref_cpu, 3),
     }))
 
 

@@ -148,6 +148,10 @@ def compose(config_dir: Union[str, Path], config_name: str,
             # ``# @package _global_`` entries merge at the TRUE root (Hydra
             # semantics), everything else inside the sub config.
             nested_dir = sub_path.parent
+            # nested defaults compose FIRST; the sub config's own body
+            # merges over them (Hydra's implicit trailing _self_), so e.g.
+            # toy_seed123's seed override beats toy_defaults' seed list
+            pre = make_config({})
 
             def _nested(target_name, target_group):
                 n2, p2_at = _split_at_package(str(target_name))
@@ -156,7 +160,7 @@ def compose(config_dir: Union[str, Path], config_name: str,
                 d2 = nested_dir / g2_clean if g2_clean else nested_dir
                 s2, p2 = _load_yaml(_find_config_file(d2, n2))
                 pkg = p2_at or g2_at or p2
-                target = cfg if pkg == "_global_" else sub
+                target = cfg if pkg == "_global_" else pre
                 _merge_at_package(target, s2, pkg, g2_clean)
 
             for entry in sub_defaults:
@@ -165,6 +169,8 @@ def compose(config_dir: Union[str, Path], config_name: str,
                         _nested(n2, g2)
                 elif entry != "_self_":
                     _nested(entry, None)
+            merge(pre, sub)
+            sub = pre
         _merge_at_package(cfg, sub, at_package or package, group_clean)
     if not self_merged:
         merge(cfg, primary)  # primary values take precedence (Hydra 1.0 style)
