@@ -132,3 +132,29 @@ def test_export_roundtrip_to_reference_format(tmp_path, rng):
     np.testing.assert_allclose(
         np.transpose(np.asarray(j_out), (0, 4, 1, 2, 3)), t_out.numpy(),
         atol=2e-4)
+
+
+def test_checkpoint_retention(tmp_path):
+    """best-k pruning + every-n-epoch snapshots + always-fresh last.ckpt."""
+    from values_tpu.training.checkpoint import (CheckpointRetention,
+                                                load_checkpoint)
+
+    ret = CheckpointRetention(str(tmp_path), save_top_k=2, every_n_epochs=3,
+                              monitor="val_loss")
+    losses = [0.9, 0.5, 0.7, 0.3, 0.8, 0.4]
+    for epoch, v in enumerate(losses):
+        ret.save({"params": {"w": np.zeros(2)}}, {"cfg": 1}, epoch=epoch,
+                 global_step=10 * (epoch + 1), monitored=v)
+
+    names = sorted(p.name for p in tmp_path.iterdir())
+    # top-2 by val_loss: 0.3 (epoch 3) and 0.4 (epoch 5)
+    assert "epoch=3-val_loss=0.3000.ckpt" in names
+    assert "epoch=5-val_loss=0.4000.ckpt" in names
+    assert not any("0.5000" in n or "0.9000" in n for n in names)
+    # every-3-epochs snapshots at epochs 2 and 5
+    assert "epoch=2.ckpt" in names and "epoch=5.ckpt" in names
+    assert "epoch=1.ckpt" not in names
+    # last.ckpt tracks the final epoch
+    last = load_checkpoint(str(tmp_path / "last.ckpt"))
+    assert last["epoch"] == 5 and last["global_step"] == 60
+    assert ret.best_path.endswith("epoch=3-val_loss=0.3000.ckpt")

@@ -207,3 +207,29 @@ def test_resolve_device_count():
     assert resolve_device_count(4) == 4
     assert resolve_device_count("all", available=8) == 8
     assert resolve_device_count(-1, available=8) == 8
+
+
+def test_hybrid_mesh_single_slice_fallback():
+    """Without multiple DCN granules the hybrid mesh is the plain
+    (data, sample) ICI mesh over all visible devices."""
+    from values_tpu.parallel.mesh import make_hybrid_mesh
+
+    m = make_hybrid_mesh(n_sample=2)
+    assert m.shape == {"data": 4, "sample": 2}
+    m1 = make_hybrid_mesh()
+    assert m1.shape == {"data": 8, "sample": 1}
+
+
+def test_hybrid_mesh_dcn_layout():
+    """With dcn_data=2 the data axis must be granule-major: all devices of
+    DCN granule 0 before granule 1 (collectives decompose hierarchically)."""
+    from values_tpu.parallel.mesh import make_hybrid_mesh
+
+    m = make_hybrid_mesh(n_sample=2, dcn_data=2)
+    assert m.shape == {"data": 4, "sample": 2}
+    ids = np.array([[d.id for d in row] for row in m.devices])
+    # CPU virtual devices enumerate granule-free; the contract is that the
+    # first data half is one granule's device set, disjoint from the second
+    first, second = set(ids[:2].ravel()), set(ids[2:].ravel())
+    assert first.isdisjoint(second)
+    assert first | second == set(range(8))

@@ -251,3 +251,73 @@ def test_gradient_clip_applied_in_train_step(toy_dataset, tmp_path):
     p_max = max(jax.tree_util.tree_leaves(delta_p))
     assert np.isfinite(c_max) and np.isfinite(p_max)
     assert c_max != p_max
+
+
+def test_loader_worker_count_independence(tmp_path):
+    """num_workers >= 1 batches are bit-identical regardless of worker
+    count (per-sample RNG streams), across epochs."""
+    from values_tpu.data.pipeline import NumpyBatchLoader
+
+    rs = np.random.RandomState(3)
+    samples = []
+    for i in range(7):
+        img = tmp_path / f"img{i}.npy"
+        np.save(img, rs.rand(12, 12, 12).astype(np.float32))
+        raters = []
+        for r in range(3):
+            lab = tmp_path / f"img{i}_{r:02d}.npy"
+            np.save(lab, (rs.rand(12, 12, 12) > 0.5).astype(np.int32))
+            raters.append(str(lab))
+        samples.append({"image_path": str(img), "label_paths": raters})
+
+    def epochs(workers):
+        loader = NumpyBatchLoader(samples, batch_size=2, patch_size=8,
+                                  training=True, augment=True, seed=7,
+                                  num_workers=workers)
+        return [[b for b in loader] for _ in range(2)]
+
+    a, b = epochs(1), epochs(4)
+    for ea, eb in zip(a, b):
+        assert len(ea) == len(eb)
+        for ba, bb in zip(ea, eb):
+            np.testing.assert_array_equal(ba["data"], bb["data"])
+            np.testing.assert_array_equal(ba["seg"], bb["seg"])
+            assert ba["label_paths"] == bb["label_paths"]
+    # and the two epochs differ from each other (per-epoch reshuffle/crops)
+    assert not np.array_equal(a[0][0]["data"], a[1][0]["data"])
+
+
+def test_fit_mixed_precision_bf16(toy_dataset, tmp_path):
+    """precision=bf16: params stay f32 (master weights), training runs and
+    tracks the f32 loss closely over the first steps."""
+    import jax
+
+    losses = {}
+    for precision in ("32", "bf16"):
+        cfg = _tiny_cfg(toy_dataset, tmp_path / precision,
+                        **{"precision": precision, "max_epochs": 1,
+                           "datamodule.num_workers": 2})
+        from values_tpu.training.experiment import Experiment
+        exp = Experiment(cfg)
+        assert exp.mixed_bf16 == (precision == "bf16")
+        state = exp.init_state(jax.random.PRNGKey(0), 16, 1)
+        leaves = jax.tree_util.tree_leaves(state.params)
+        assert all(l.dtype == np.float32 for l in leaves)
+        batch = {
+            "data": np.random.RandomState(0).rand(2, 16, 16, 16, 1)
+            .astype(np.float32),
+            "seg": (np.random.RandomState(1).rand(2, 16, 16, 16) > 0.5)
+            .astype(np.int32)}
+        import jax.numpy as jnp
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        ls = []
+        rng = jax.random.PRNGKey(42)
+        for i in range(3):
+            state, loss = exp.train_step(state, batch, rng)
+            ls.append(float(loss))
+        losses[precision] = ls
+        # master weights still f32 after updates
+        assert all(l.dtype == np.float32
+                   for l in jax.tree_util.tree_leaves(state.params))
+    np.testing.assert_allclose(losses["bf16"], losses["32"],
+                               rtol=2e-2, atol=2e-2)

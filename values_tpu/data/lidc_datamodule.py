@@ -107,7 +107,8 @@ class LidcIdriDataModule3D(ToyDataModule3D):
             flat_dirs=True)
         return NumpyBatchLoader(samples, self.batch_size, self.patch_size,
                                 training=True, augment=self.augment,
-                                seed=self.seed)
+                                seed=self.seed,
+                                num_workers=self.num_workers)
 
     def val_dataloader(self) -> NumpyBatchLoader:
         samples = get_val_test_data_samples(

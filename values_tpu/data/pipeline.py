@@ -17,11 +17,21 @@ Reproduced statistical contract (not bit-parity with torch RNG):
   batchgenerators "variance"-as-scale quirk, augment_gaussian_noise).
 
 Batches are channels-last: data (B, p, p, p, 1) float32, seg (B, p, p, p).
+
+Worker parallelism (``num_workers >= 1``, the MultiThreadedAugmenter's
+``num_processes`` analog): sample assembly fans out over a thread pool —
+np.load IO and the native C++ crop/mirror/noise ops release the GIL, so
+threads scale where pure-Python augmentation would not. Determinism is
+worker-count-independent: each sample draws from its own RandomState
+seeded by (seed, epoch, position-in-epoch), so ``num_workers=1`` and
+``num_workers=16`` produce bit-identical batches. ``num_workers=0``
+keeps the legacy sequential stream (one shared per-epoch RandomState).
 """
 from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -33,7 +43,8 @@ class NumpyBatchLoader:
     def __init__(self, samples: Sequence[Dict], batch_size: int,
                  patch_size: int, training: bool = True,
                  augment: bool = False, seed: int = 42,
-                 prefetch: int = 2, drop_last: bool = False):
+                 prefetch: int = 2, drop_last: bool = False,
+                 num_workers: int = 0):
         self.samples = list(samples)
         self.batch_size = batch_size
         self.patch_size = patch_size
@@ -42,7 +53,16 @@ class NumpyBatchLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.drop_last = drop_last
+        self.num_workers = int(num_workers or 0)
         self.num_restarted = 0
+        self._pool: Optional[ThreadPoolExecutor] = None
+
+    def _executor(self) -> ThreadPoolExecutor:
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(
+                max_workers=self.num_workers,
+                thread_name_prefix="values-tpu-loader")
+        return self._pool
 
     def __len__(self) -> int:
         n = len(self.samples)
@@ -109,13 +129,44 @@ class NumpyBatchLoader:
             image, float(scale), int(rs.randint(0, 2 ** 31)))
         return image, label
 
+    def _parallel_samples(self, order, epoch: int) -> Iterator:
+        """Fan sample assembly out over the thread pool, in order, with a
+        bounded in-flight window (ThreadPoolExecutor.map would submit the
+        whole epoch eagerly). Worker-count-independent streams: the sample
+        at epoch position k draws from RandomState(PCG64([seed, epoch, k]))
+        no matter which thread assembles it."""
+        from collections import deque
+        pool = self._executor()
+        window = max(2 * self.num_workers, self.batch_size)
+
+        def assemble(k: int, j: int):
+            rs_j = np.random.RandomState(
+                np.random.PCG64([self.seed, epoch, k]))
+            return self._load_sample(self.samples[j], rs_j)
+
+        pending: "deque" = deque()
+        for k, j in enumerate(order):
+            pending.append(pool.submit(assemble, int(k), int(j)))
+            if len(pending) >= window:
+                yield pending.popleft().result()
+        while pending:
+            yield pending.popleft().result()
+
     # -- epoch iteration ----------------------------------------------
     def _epoch_batches(self) -> Iterator[Dict]:
-        rs = np.random.RandomState(self.seed + self.num_restarted)
+        epoch = self.num_restarted
+        rs = np.random.RandomState(self.seed + epoch)
         order = np.arange(len(self.samples))
         if self.training:
             rs.shuffle(order)
         self.num_restarted += 1
+
+        if self.num_workers >= 1:
+            loaded = self._parallel_samples(order, epoch)
+        else:
+            loaded = (self._load_sample(self.samples[j], rs) for j in order)
+
+        it = iter(loaded)
         for i in range(0, len(order),
                        self.batch_size):
             idx = order[i:i + self.batch_size]
@@ -124,7 +175,7 @@ class NumpyBatchLoader:
             data, segs, image_paths, label_paths, crops = [], [], [], [], []
             for j in idx:
                 sample = self.samples[j]
-                image, label, lp = self._load_sample(sample, rs)
+                image, label, lp = next(it)
                 data.append(image)
                 segs.append(label)
                 image_paths.append(sample["image_path"])

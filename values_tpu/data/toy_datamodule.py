@@ -85,7 +85,8 @@ class ToyDataModule3D:
             num_raters=self.num_raters, label_suffix=self.label_suffix)
         return NumpyBatchLoader(samples, self.batch_size, self.patch_size,
                                 training=True, augment=self.augment,
-                                seed=self.seed)
+                                seed=self.seed,
+                                num_workers=self.num_workers)
 
     def val_dataloader(self) -> NumpyBatchLoader:
         samples = get_val_test_data_samples(

@@ -126,3 +126,65 @@ def make_parallel_sample_predict(model, n_models: int, mesh: Mesh,
         return stack
 
     return jax.jit(predict)
+
+
+# -- multi-host (DCN) meshes -------------------------------------------------
+
+def initialize_distributed() -> int:
+    """Initialize JAX's multi-process runtime when launched as one process
+    per host (GKE/TPU-VM pods). Controlled by standard env vars
+    (``COORDINATOR_ADDRESS``, ``NUM_PROCESSES``, ``PROCESS_ID``) or the
+    TPU metadata autodetection built into ``jax.distributed``; a no-op for
+    single-process runs. Returns ``jax.process_count()``."""
+    import os
+    if jax.process_count() > 1:
+        return jax.process_count()  # already initialized
+    if os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize(
+            coordinator_address=os.environ["COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ["NUM_PROCESSES"]),
+            process_id=int(os.environ["PROCESS_ID"]))
+    return jax.process_count()
+
+
+def make_hybrid_mesh(n_sample: int = 1,
+                     dcn_data: Optional[int] = None) -> Mesh:
+    """A (data, sample) mesh spanning multiple slices/hosts.
+
+    The ``data`` axis is laid out hierarchically — slow DCN granules outer,
+    fast ICI inner — via ``mesh_utils.create_hybrid_device_mesh``, so the
+    gradient psum decomposes into an ICI reduce-scatter + small DCN
+    all-reduce + ICI all-gather (the scaling-book recipe for
+    data-parallelism across slices). ``sample`` stays inside one slice
+    (ensemble members never need to talk across DCN).
+
+    Single-slice (or CPU-virtual) runs fall back to :func:`make_mesh`
+    transparently, so config plumbing is identical from 1 chip to a
+    multi-slice pod.
+    """
+    n_total = len(jax.devices())
+    granules = getattr(jax.devices()[0], "slice_index", None)
+    num_slices = (len({d.slice_index for d in jax.devices()})
+                  if granules is not None else jax.process_count())
+    if dcn_data is None:
+        dcn_data = num_slices
+    if dcn_data <= 1:
+        return make_mesh(n_data=n_total // n_sample, n_sample=n_sample)
+    if n_total % (dcn_data * n_sample):
+        raise ValueError(f"{n_total} devices not divisible into "
+                         f"{dcn_data} DCN granules x {n_sample} sample")
+
+    # granule-major device order: all of DCN granule 0 first, then 1, ...
+    # so the outer blocks of the `data` axis align with DCN boundaries and
+    # every (data-inner, sample) collective stays on ICI.
+    all_devices = sorted(jax.devices(), key=lambda d: d.id)
+    raw = [getattr(d, "slice_index", getattr(d, "process_index", 0))
+           for d in all_devices]
+    if len(set(raw)) != dcn_data:
+        # virtual/CPU devices carry no granule attribute: synthesize
+        # contiguous granules (id-order blocks), preserving the contract
+        raw = [i * dcn_data // n_total for i in range(n_total)]
+    devices = [d for _, d in sorted(zip(raw, all_devices),
+                                    key=lambda t: (t[0], t[1].id))]
+    arr = np.asarray(devices).reshape(n_total // n_sample, n_sample)
+    return Mesh(arr, (DATA_AXIS, SAMPLE_AXIS))

@@ -73,3 +73,58 @@ def load_any_checkpoint(path: str) -> Tuple[Dict, Any]:
         # legacy torch pickle (non-zip) checkpoints
         from ..models.torch_import import load_reference_checkpoint
         return load_reference_checkpoint(path)
+
+
+class CheckpointRetention:
+    """Retention policy around :func:`save_checkpoint`.
+
+    The reference relies on PL's default ModelCheckpoint (last epoch
+    only); production TPU training wants bounded history plus best-k by a
+    monitored metric (SURVEY.md §5 checkpoint/resume; VERDICT r1 item 10).
+
+    - ``last.ckpt`` is always (re)written at every save point.
+    - ``every_n_epochs > 0`` additionally keeps ``epoch=<E>.ckpt``
+      snapshots at that cadence (never pruned).
+    - ``save_top_k > 0`` keeps the k best ``epoch=<E>-<monitor>=<v>.ckpt``
+      by the monitored value (lower is better, e.g. ``val_loss``); worse
+      ones are deleted as better ones arrive.
+    """
+
+    def __init__(self, ckpt_dir: str, save_top_k: int = 0,
+                 every_n_epochs: int = 0, monitor: str = "val_loss"):
+        self.ckpt_dir = Path(ckpt_dir)
+        self.save_top_k = int(save_top_k)
+        self.every_n_epochs = int(every_n_epochs)
+        self.monitor = monitor
+        self._best: list = []  # (value, path), sorted ascending
+
+    def save(self, variables: Any, hyper_parameters: Dict, *, epoch: int,
+             global_step: int, opt_state: Any = None,
+             monitored: float = None) -> str:
+        def write(name: str) -> str:
+            path = str(self.ckpt_dir / name)
+            save_checkpoint(path, variables, hyper_parameters, epoch=epoch,
+                            global_step=global_step, opt_state=opt_state)
+            return path
+
+        last = write("last.ckpt")
+        if self.every_n_epochs > 0 and (epoch + 1) % self.every_n_epochs == 0:
+            write(f"epoch={epoch}.ckpt")
+        if self.save_top_k > 0 and monitored is not None \
+                and np.isfinite(monitored):
+            value = float(monitored)
+            if len(self._best) < self.save_top_k \
+                    or value < self._best[-1][0]:
+                path = write(
+                    f"epoch={epoch}-{self.monitor}={value:.4f}.ckpt")
+                self._best.append((value, path))
+                self._best.sort(key=lambda t: t[0])
+                while len(self._best) > self.save_top_k:
+                    _, worst = self._best.pop()
+                    Path(worst).unlink(missing_ok=True)
+        return last
+
+    @property
+    def best_path(self) -> str:
+        return self._best[0][1] if self._best else str(
+            self.ckpt_dir / "last.ckpt")

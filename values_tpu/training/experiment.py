@@ -54,13 +54,32 @@ class Experiment:
         self.pretrain_epochs = int(cfg.get("pretrain_epochs", 5))
         clip = cfg.get("gradient_clip_val")
         self.gradient_clip_val = float(clip) if clip else None
+        # mixed precision: bf16 compute, f32 master weights + updates
+        # (the reference trains pure f32; `precision: bf16` is the
+        # TPU-native training speed path — flax's dtype/param_dtype split)
+        precision = str(cfg.get("precision", "32")).lower()
+        self.mixed_bf16 = precision in ("bf16", "16", "mixed", "bf16-mixed")
 
         model_cfg = cfg.model
+        extra_kwargs = {}
         if cfg.get("aleatoric_loss") is not None:
-            self.model = instantiate(model_cfg,
-                                     aleatoric_loss=cfg.get("aleatoric_loss"))
-        else:
-            self.model = instantiate(model_cfg)
+            extra_kwargs["aleatoric_loss"] = cfg.get("aleatoric_loss")
+        if self.mixed_bf16:
+            extra_kwargs["dtype"] = jnp.bfloat16
+        try:
+            self.model = instantiate(model_cfg, **extra_kwargs)
+        except TypeError:
+            if "dtype" not in extra_kwargs:
+                raise
+            # model family without a compute-dtype knob (e.g. HRNet cfg
+            # dict): fall back to f32 compute, warn once
+            import warnings
+            warnings.warn("precision=bf16 requested but "
+                          f"{model_cfg.get('_target_')} takes no dtype; "
+                          "training in float32")
+            extra_kwargs.pop("dtype")
+            self.mixed_bf16 = False
+            self.model = instantiate(model_cfg, **extra_kwargs)
         self.is_ssn = isinstance(self.model, SsnUNet3D) or bool(
             getattr(self.model, "ssn", False))
         self.has_dropout = bool(getattr(self.model, "do_dropout", False))
@@ -119,6 +138,8 @@ class Experiment:
     # ------------------------------------------------------------------
     def _loss(self, params, model_state, batch, rng, pretrain: bool):
         data = batch["data"]
+        if self.mixed_bf16:
+            data = data.astype(jnp.bfloat16)
         target = batch["seg"].astype(jnp.int32)
         apply_kwargs: Dict[str, Any] = {}
         if self.has_dropout or self.needs_dropout_rng:
@@ -138,11 +159,12 @@ class Experiment:
                 return out  # (value, mutated_state)
             return out, model_state
 
+        f32 = lambda t: t.astype(jnp.float32)  # losses always reduce in f32
         if self.is_ssn:
             dist, new_state = run(data, mean_only=pretrain)
             samples = dist.rsample(rng, (self.n_aleatoric_samples,))
             event = (self.num_classes,) + data.shape[1:-1]
-            logit_samples = samples.reshape(
+            logit_samples = f32(samples).reshape(
                 (self.n_aleatoric_samples, data.shape[0]) + event)
             loss = L.ssn_mc_loglikelihood_loss(
                 logit_samples, target, ignore_index=self.ignore_index)
@@ -150,11 +172,11 @@ class Experiment:
         if self.aleatoric_loss:
             (mu, s), new_state = run(data)
             loss = L.aleatoric_sampling_loss(
-                _to_channel_first(mu), _to_channel_first(s), target, rng,
-                n_samples=self.n_aleatoric_samples)
+                _to_channel_first(f32(mu)), _to_channel_first(f32(s)),
+                target, rng, n_samples=self.n_aleatoric_samples)
             return loss, new_state
         logits, new_state = run(data)
-        loss = L.dice_ce_loss(_to_channel_first(logits), target,
+        loss = L.dice_ce_loss(_to_channel_first(f32(logits)), target,
                               ignore_index=self.ignore_index)
         return loss, new_state
 

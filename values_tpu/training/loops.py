@@ -19,7 +19,7 @@ import numpy as np
 from ..config import Config, instantiate
 from ..core.seed import set_seed
 from . import optim
-from .checkpoint import save_checkpoint
+from .checkpoint import CheckpointRetention
 from .experiment import Experiment
 from .tb_logging import TensorBoardLogger
 
@@ -198,6 +198,10 @@ def fit(cfg: Config, max_steps_override: Optional[int] = None,
 
     logger.log_hparams(cfg.to_container())
     ckpt_dir = os.path.join(logger.log_dir, "checkpoints")
+    retention = CheckpointRetention(
+        ckpt_dir, save_top_k=int(cfg.get("save_top_k", 0) or 0),
+        every_n_epochs=int(cfg.get("checkpoint_every_n_epochs", 0) or 0),
+        monitor="val_loss")
     # gradient_clip_val is applied inside Experiment.train_step_fn
     # (torch clip_grad_norm_ semantics, optim.clip_grads_by_global_norm)
 
@@ -275,11 +279,10 @@ def fit(cfg: Config, max_steps_override: Optional[int] = None,
             state = state._replace(opt_state=optim.set_learning_rate(
                 state.opt_state, schedule.base_lr * lr_scale))
 
-        save_checkpoint(
-            os.path.join(ckpt_dir, "last.ckpt"),
+        retention.save(
             {"params": state.params, **(state.model_state or {})},
             cfg.to_container(), epoch=epoch, global_step=global_step,
-            opt_state=state.opt_state)
+            opt_state=state.opt_state, monitored=val_loss)
         if max_steps_override and global_step >= max_steps_override:
             break
 
