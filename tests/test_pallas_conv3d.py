@@ -152,3 +152,82 @@ def test_grouped_forward_mc_dropout_stochastic():
     assert probs.shape == (S, 1, P, P, P, 2)
     # same weights, different masks -> samples differ
     assert not np.allclose(np.asarray(probs[0]), np.asarray(probs[1]))
+
+
+def _ref_conv(x_ndhwc, kernel, bias, groups):
+    import jax
+    return jax.lax.conv_general_dilated(
+        x_ndhwc, kernel, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        feature_group_count=groups) + bias
+
+
+def test_banded_conv_split_input_and_prologue_and_stats(rng):
+    """v2 kernel features vs composed XLA reference: fused skip concat
+    (x2), normalize prologue with per-channel slopes, epilogue activation,
+    and instance-norm statistics side outputs."""
+    import jax
+    import jax.numpy as jnp
+    from values_tpu.ops.pallas.conv3d import (conv3d_banded_packed,
+                                              pack_ndhwc, unpack_ndhwc)
+
+    groups, cin1, cin2, cout = 2, 8, 8, 8
+    b, dd, hh, ww = 4, 8, 8, 32
+    bp = 128 // ww
+    x1 = rng.rand(b, dd, hh, ww, groups * cin1).astype(np.float32)
+    x2 = rng.rand(b, dd, hh, ww, groups * cin2).astype(np.float32)
+    kernel = (rng.rand(3, 3, 3, cin1 + cin2, groups * cout)
+              .astype(np.float32) - 0.5) * 0.2
+    bias = rng.rand(groups * cout).astype(np.float32) * 0.1
+
+    # prologue maps: per (item, channel) scale/shift; slope 0.01 on the
+    # x2 half (leaky), identity on the x1 half
+    n_items = b
+    scale_i = rng.rand(n_items, groups * (cin1 + cin2)).astype(np.float32) + 0.5
+    shift_i = rng.rand(n_items, groups * (cin1 + cin2)).astype(np.float32) - 0.5
+    slope_i = np.ones_like(scale_i)
+    for g in range(groups):
+        slope_i[:, g * (cin1 + cin2) + cin1:(g + 1) * (cin1 + cin2)] = 0.01
+
+    # reference: prologue -> concat -> conv -> relu epilogue
+    xc = np.concatenate([x1.reshape(b, dd, hh, ww, groups, cin1),
+                         x2.reshape(b, dd, hh, ww, groups, cin2)],
+                        axis=-1).reshape(b, dd, hh, ww, -1)
+    v = xc * scale_i[:, None, None, None] - shift_i[:, None, None, None]
+    v = np.maximum(v, v * slope_i[:, None, None, None])
+    ref = _ref_conv(jnp.asarray(v), jnp.asarray(kernel), jnp.asarray(bias),
+                    groups)
+    ref_relu = np.maximum(np.asarray(ref), 0.0)
+
+    # packed v2 kernel
+    def lane_maps(m):  # (items, C) -> (nb, C, 128) per-lane maps
+        nb = b // bp
+        out = np.zeros((nb, m.shape[1], 128), np.float32)
+        for item in range(b):
+            blk = item % bp
+            out[item // bp, :, blk * ww:(blk + 1) * ww] = m[item][:, None]
+        return jnp.asarray(out)
+
+    p1 = pack_ndhwc(jnp.asarray(x1), bp)
+    p2 = pack_ndhwc(jnp.asarray(x2), bp)
+    out, (ssum, ssq) = conv3d_banded_packed(
+        p1, jnp.asarray(kernel), jnp.asarray(bias), groups, w_item=ww,
+        x2=p2, prologue=(lane_maps(scale_i), lane_maps(shift_i),
+                         lane_maps(slope_i)),
+        activation="relu", emit_stats=True, interpret=True)
+    got = np.asarray(unpack_ndhwc(out, bp))
+    np.testing.assert_allclose(got, ref_relu, atol=2e-4, rtol=2e-4)
+
+    # stats are of conv+bias PRE-activation, lane-resolved
+    pre = np.asarray(ref)
+    ssum = np.asarray(ssum)
+    ssq = np.asarray(ssq)
+    for item in range(b):
+        nb_i, blk = item // bp, item % bp
+        lanes = slice(blk * ww, (blk + 1) * ww)
+        want_sum = pre[item].sum((0, 1))  # (W, C) summed over D,H -> per W
+        np.testing.assert_allclose(
+            ssum[nb_i, :, lanes], want_sum.T, atol=2e-3, rtol=2e-3)
+        np.testing.assert_allclose(
+            ssq[nb_i, :, lanes], (pre[item] ** 2).sum((0, 1)).T,
+            atol=5e-3, rtol=2e-3)

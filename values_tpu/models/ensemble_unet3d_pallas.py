@@ -50,25 +50,116 @@ def _repack_double_w(x):
     return x.reshape(2 * nb, d, h, c, lanes // 2)
 
 
+import functools as _functools
+
+import numpy as _np
+
+
+@_functools.lru_cache(maxsize=None)
+def _lane_block_sum_matrix(lanes: int, bp: int):
+    """(lanes, bp) 0/1 matrix: column b sums lanes of item block b."""
+    w = lanes // bp
+    s = _np.zeros((lanes, bp), _np.float32)
+    for l in range(lanes):
+        s[l, l // w] = 1.0
+    return s
+
+
+@_functools.lru_cache(maxsize=None)
+def _pool_compact_matrix(lanes: int, bp: int, repack: bool):
+    """W-pair-max compaction as a matmul. Input lane l = b*W + w carries
+    max(x[w], x[w+1]) on even w (after a roll-max); the matrix routes even
+    lanes to the compacted layout. repack=True fuses _repack_halve_w:
+    shape (2, lanes, lanes) so out = sum_p m[p] @ C[p] merges the pack
+    pair into full lanes; repack=False: (lanes, lanes//2)."""
+    w = lanes // bp
+    if repack:
+        c = _np.zeros((2, lanes, lanes), _np.float32)
+        for p in range(2):
+            for l in range(0, lanes, 2):
+                b, ww = l // w, (l % w) // 2
+                c[p, l, p * (lanes // 2) + b * (w // 2) + ww] = 1.0
+        return c
+    c = _np.zeros((lanes, lanes // 2), _np.float32)
+    for l in range(0, lanes, 2):
+        b, ww = l // w, (l % w) // 2
+        c[l, b * (w // 2) + ww] = 1.0
+    return c
+
+
+def _roll_lanes(x, shift):
+    """Rotate the minor (lane) dim; XLA lowers to a lane rotate."""
+    return jnp.roll(x, shift, axis=-1)
+
+
 def _instance_norm(x, bp):
-    """Per-item, per-channel stats over (D, H, W) in the packed layout."""
+    """Per-item, per-channel stats over (D, H, W), packed layout.
+
+    The per-item lane-block sums route through one MXU contraction
+    (lanes @ S) instead of splitting lanes with a reshape — the f32
+    (…, bp, W) reshape was 2x24 ms of pure layout copies in the r2
+    profile. Stats accumulate in f32 (preferred_element_type)."""
     nb, d, h, c, lanes = x.shape
-    xi = x.reshape(nb, d, h, c, bp, lanes // bp)
-    mean = jnp.mean(xi, axis=(1, 2, 5), keepdims=True)
-    var = jnp.var(xi, axis=(1, 2, 5), keepdims=True)
-    xi = (xi - mean) * jax.lax.rsqrt(var + 1e-5)
-    return xi.reshape(nb, d, h, c, lanes)
+    w = lanes // bp
+    n_vox = d * h * w
+    s = jnp.asarray(_lane_block_sum_matrix(lanes, bp), x.dtype)
+    xf = x
+    # (nb, c, bp) sums of x and x^2 in f32, one fused pass each
+    sum1 = jax.lax.dot_general(
+        xf.reshape(nb, d * h * c, lanes), s, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(nb, d, h, c, bp)
+    sum1 = jnp.sum(sum1, axis=(1, 2))
+    sum2 = jax.lax.dot_general(
+        (xf * xf).reshape(nb, d * h * c, lanes), s,
+        (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(nb, d, h, c, bp)
+    sum2 = jnp.sum(sum2, axis=(1, 2))
+    mean = sum1 / n_vox
+    var = jnp.maximum(sum2 / n_vox - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + 1e-5)
+    # broadcast (nb, c, bp) back onto lanes: tiny dot with S^T
+    st = jnp.asarray(_lane_block_sum_matrix(lanes, bp).T, jnp.float32)
+    scale = jax.lax.dot_general(inv, st,
+                                (((2,), (0,)), ((), ())))  # (nb, c, lanes)
+    shift = jax.lax.dot_general(mean * inv, st,
+                                (((2,), (0,)), ((), ())))
+    return (x.astype(jnp.float32) * scale[:, None, None]
+            - shift[:, None, None]).astype(x.dtype)
 
 
 def _pool(x, bp):
     """2x2x2 max pool in packed layout (halves W; lanes refill happens in
-    the caller via _repack_halve_w when a pack pair is available)."""
+    the caller via _repack_halve_w when a pack pair is available).
+
+    D/H pool by strided slicing on major dims; W pool by a lane roll-max
+    whose even lanes are compacted through one 0/1 matmul (bf16-exact) —
+    reduce_window on the packed lanes cost 95 ms/step in the r2 profile.
+    """
     nb, d, h, c, lanes = x.shape
-    x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
-                              (1, 2, 2, 1, 1), (1, 2, 2, 1, 1), "VALID")
-    xi = x.reshape(nb, d // 2, h // 2, c, bp, lanes // bp // 2, 2)
-    xi = jnp.max(xi, axis=-1)
-    return xi.reshape(nb, d // 2, h // 2, c, lanes // 2)
+    m = jnp.maximum(x[:, 0::2], x[:, 1::2])
+    m = jnp.maximum(m[:, :, 0::2], m[:, :, 1::2])
+    m = jnp.maximum(m, _roll_lanes(m, -1))      # even lanes: W-pair max
+    cmp = jnp.asarray(_pool_compact_matrix(lanes, bp, False), x.dtype)
+    out = jax.lax.dot_general(
+        m.reshape(nb, -1, lanes), cmp, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    return out.reshape(nb, d // 2, h // 2, c, lanes // 2)
+
+
+def _pool_repack(x, bp):
+    """Fused _repack_halve_w(_pool(x)): pack pairs merge inside the same
+    compaction matmul, so the (…, 2, 64) -> (…, 128) lane interleave never
+    materializes. (nb, D, H, C, 128) -> (nb/2, D/2, H/2, C, 128)."""
+    nb, d, h, c, lanes = x.shape
+    m = jnp.maximum(x[:, 0::2], x[:, 1::2])
+    m = jnp.maximum(m[:, :, 0::2], m[:, :, 1::2])
+    m = jnp.maximum(m, _roll_lanes(m, -1))
+    cmp = jnp.asarray(_pool_compact_matrix(lanes, bp, True), x.dtype)
+    m = m.reshape(nb // 2, 2, (d // 2) * (h // 2) * c, lanes)
+    out = jax.lax.dot_general(
+        m, cmp, (((1, 3), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    return out.reshape(nb // 2, d // 2, h // 2, c, lanes)
 
 
 def _dropout(x, rng, rate=0.5):
@@ -76,32 +167,62 @@ def _dropout(x, rng, rate=0.5):
     return jnp.where(keep, x / (1.0 - rate), 0.0)
 
 
+@_functools.lru_cache(maxsize=None)
+def _upscale_interleave_matrix(lanes: int, repack: bool):
+    """The w-doubling lane interleave of a k2s2 transpose-conv as a 0/1
+    matrix: input lane l = b*W + w and offset f land on output lane
+    l' = b*2W + 2w + f = 2l + f. repack=True also splits the doubled
+    256-lane space into the two output packs (p = l' // lanes), fusing
+    _repack_double_w into the same contraction."""
+    if repack:
+        e = _np.zeros((2, lanes, 2, lanes), _np.float32)
+        for f in range(2):
+            for l in range(lanes):
+                lp = 2 * l + f
+                e[f, l, lp // lanes, lp % lanes] = 1.0
+        return e
+    e = _np.zeros((2, lanes, 2 * lanes), _np.float32)
+    for f in range(2):
+        for l in range(lanes):
+            e[f, l, 2 * l + f] = 1.0
+    return e
+
+
 def _transpose_conv_k2s2(x, params, groups, bp, repack=True):
-    """Per-member ConvTranspose(k=2, s=2) on the packed layout (einsum +
-    pixel shuffle; parity with ensemble_unet3d.GroupedConvTransposeK2S2),
-    followed by a lane re-pack (W doubles -> bp halves) when the matching
-    encoder pool refilled lanes."""
+    """Per-member ConvTranspose(k=2, s=2) on the packed layout, parity
+    with ensemble_unet3d.GroupedConvTransposeK2S2.
+
+    Three steps: (1) the per-member GEMM over cin, (2) the w/f lane
+    interleave (+ fused pack split) as ONE 0/1-matrix contraction on the
+    MXU — the reshape formulation cost 2x ~24 ms of 9-D layout copies per
+    upscale in the r2 profile — and (3) a single major-dim transpose
+    placing (p, a, e) next to (nb, d, h)."""
     kernel = params["kernel"]   # (M, 2, 2, 2, cin, cout)
     bias = params["bias"]       # (M, cout)
     nb, d, h, gc, lanes = x.shape
     cin = gc // groups
     co = kernel.shape[-1]
     xm = x.reshape(nb, d, h, groups, cin, lanes)
-    # Explicit dot_general + ONE transpose: a naive einsum materializes a
-    # 10-D intermediate whose tiny trailing dims (w-item, f=2) force a 4x
-    # lane/sublane-padded layout (10GB at the top level). The dot output
-    # below keeps (h, lanes) trailing (dense tiling), and the final
-    # transpose+reshape writes directly into the packed target layout.
     y = jax.lax.dot_general(
         kernel, xm, (((4,), (4,)), ((0,), (3,))),
         preferred_element_type=jnp.float32).astype(x.dtype)
     # y: (m, a, e, f, o, nb, d, h, lanes)
-    y = jnp.transpose(y, (5, 6, 1, 7, 2, 0, 4, 8, 3))
-    # (nb, d, a, h, e, m, o, lanes, f): lane index (b, w, f) = packed
-    # (bp, 2w) with the f interleave in the minor position
-    y = y.reshape(nb, 2 * d, 2 * h, groups * co, 2 * lanes)
+    em = jnp.asarray(_upscale_interleave_matrix(lanes, repack), x.dtype)
     if repack:
-        y = _repack_double_w(y)
+        y = jax.lax.dot_general(
+            y, em, (((3, 8), (0, 1)), ((), ())),
+            preferred_element_type=jnp.float32).astype(x.dtype)
+        # (m, a, e, o, nb, d, h, p, l)
+        y = jnp.transpose(y, (4, 7, 5, 1, 6, 2, 0, 3, 8))
+        # (nb, p, d, a, h, e, m, o, l): out pack = 2*nb + p
+        y = y.reshape(2 * nb, 2 * d, 2 * h, groups * co, lanes)
+    else:
+        y = jax.lax.dot_general(
+            y, em, (((3, 8), (0, 1)), ((), ())),
+            preferred_element_type=jnp.float32).astype(x.dtype)
+        # (m, a, e, o, nb, d, h, l2)
+        y = jnp.transpose(y, (4, 5, 1, 6, 2, 0, 3, 7))
+        y = y.reshape(nb, 2 * d, 2 * h, groups * co, 2 * lanes)
     return y + bias.reshape(-1, 1)
 
 
@@ -113,7 +234,16 @@ def _concat_members(a, bb, groups):
     return out.reshape(nb, d, h, -1, lanes)
 
 
-def _conv(x, params, groups, w_item, bp, *, interpret=False):
+def _apply_act(v, activation):
+    if activation == "leaky":
+        return jax.nn.leaky_relu(v, 0.01)
+    if activation == "relu":
+        return jax.nn.relu(v)
+    return v
+
+
+def _conv(x, params, groups, w_item, bp, *, activation="none",
+          interpret=False):
     """Grouped 3x3x3 SAME conv (Pallas banded GEMM) or 1x1x1 head (einsum)
     on packed activations. When the packed lane dim is below 128 (small
     batches whose packs ran out at deep levels), the conv falls back to
@@ -127,22 +257,28 @@ def _conv(x, params, groups, w_item, bp, *, interpret=False):
         xm = x.reshape(nb, d, h, groups, cin, lanes)
         out = jnp.einsum("ndhmil,imo->ndhmol", xm, k)
         out = out.reshape(nb, d, h, -1, lanes)
-        return out + bias.reshape(-1, 1)
+        return _apply_act(out + bias.reshape(-1, 1), activation)
     if lanes == LANES:
         if kernel.shape[3] == 1:
             # Mosaic slices the channel (sublane) dim in 8-aligned blocks;
             # replicate the single input channel 8x with kernel/8 (exact
             # power-of-two scaling) so each member block is 8 wide.
             kernel = jnp.repeat(kernel / 8.0, 8, axis=3)
-            x = jnp.repeat(x, 8, axis=-2)
+            # broadcast+reshape, NOT jnp.repeat: repeat lowers to a
+            # while+dynamic-update-slice loop on this shape (13 ms/step)
+            nb_, d_, h_, c_, l_ = x.shape
+            x = jnp.broadcast_to(x[:, :, :, :, None, :],
+                                 (nb_, d_, h_, c_, 8, l_))
+            x = x.reshape(nb_, d_, h_, c_ * 8, l_)
         return conv3d_banded_packed(x, kernel, bias, groups, w_item=w_item,
+                                    activation=activation,
                                     interpret=interpret)
     flat = unpack_ndhwc(x, bp)
     out = jax.lax.conv_general_dilated(
         flat, kernel, (1, 1, 1), "SAME",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         feature_group_count=groups) + bias
-    return pack_ndhwc(out, bp)
+    return pack_ndhwc(_apply_act(out, activation), bp)
 
 
 # -- the forward --------------------------------------------------------------
@@ -168,24 +304,29 @@ def grouped_forward_packed(grouped_variables: Dict, x: jnp.ndarray,
     repacks = []  # encoder records, decoder replays in reverse
 
     def block(v, name, norm=True, relu="leaky", dropout=True):
+        # without a norm between them, the activation fuses into the conv
+        # kernel's epilogue (f32 registers, zero extra HBM passes)
+        act = "none" if norm else relu
         v = _conv(v, p[name]["conv"] if "conv" in p[name] else p[name],
-                  members, state["w"], state["bp"], interpret=interpret)
+                  members, state["w"], state["bp"], activation=act,
+                  interpret=interpret)
         if norm:
             v = _instance_norm(v, state["bp"])
-        v = (jax.nn.leaky_relu(v, 0.01) if relu == "leaky"
-             else jax.nn.relu(v))
+            v = (jax.nn.leaky_relu(v, 0.01) if relu == "leaky"
+                 else jax.nn.relu(v))
         if do_dropout and dropout:
             v = _dropout(v, next(rngs))
         return v
 
     def pool(v):
-        out = _pool(v, state["bp"])
-        state["w"] //= 2
-        if out.shape[0] > 1:  # a pack pair exists: refill lanes to 128
-            out = _repack_halve_w(out)
+        if v.shape[0] > 1:  # a pack pair exists: refill lanes to 128
+            out = _pool_repack(v, state["bp"])
+            state["w"] //= 2
             state["bp"] *= 2
             repacks.append(True)
         else:
+            out = _pool(v, state["bp"])
+            state["w"] //= 2
             repacks.append(False)
         return out
 

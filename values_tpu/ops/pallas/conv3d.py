@@ -175,9 +175,37 @@ def choose_tiling(cout: int, d: int, h: int,
 # The kernel
 # ---------------------------------------------------------------------------
 
-def _conv_kernel(x_hbm, bw_ref, bb_ref, out_ref, raw_vmem, x3_vmem, sem,
-                 *, cin: int, cout: int, qd: int, qh: int, sd: int,
-                 h: int, w_item: int, out_dtype):
+def _conv_kernel(*refs, cin_parts, cout, qd: int, qh: int, sd: int,
+                 h: int, d_total: int, w_item: int, out_dtype,
+                 activation: str, has_prologue: bool, emit_stats: bool):
+    """Banded-GEMM grouped conv cell with fused prologue/epilogue.
+
+    - inputs arrive UNPADDED; (d, h) halos are assembled by boundary-aware
+      row DMAs + in-VMEM zero fills (an XLA pad op costs a full extra
+      HBM read+write of the activation — 42 ms/step in the r2 profile),
+    - an optional second input is concatenated along each group's
+      channels inside VMEM (fusing the U-Net skip concat),
+    - optional prologue per (item, channel): act(x*scale - shift) with a
+      per-channel activation slope (1 = identity, 0.01 = leaky, 0 = relu)
+      — this is where the PREVIOUS layer's instance norm is applied
+      (normalize+activation commute with max-pool, both monotone),
+    - optional epilogue activation and per-(channel, lane) sum/sumsq
+      side outputs (the next layer's instance-norm statistics).
+    """
+    n_parts = len(cin_parts)
+    cin = sum(cin_parts)
+    ri = 0
+    x_refs = refs[ri:ri + n_parts]; ri += n_parts
+    bw_ref = refs[ri]; ri += 1
+    bb_ref = refs[ri]; ri += 1
+    if has_prologue:
+        scale_ref = refs[ri]; shift_ref = refs[ri + 1]
+        slope_ref = refs[ri + 2]; ri += 3
+    out_ref = refs[ri]; ri += 1
+    if emit_stats:
+        sum_ref = refs[ri]; sq_ref = refs[ri + 1]; ri += 2
+    raw_vmem = refs[ri]; x3_vmem = refs[ri + 1]; sem = refs[ri + 2]
+
     ib = pl.program_id(0)
     g = pl.program_id(1)
     idd = pl.program_id(2)
@@ -195,21 +223,76 @@ def _conv_kernel(x_hbm, bw_ref, bb_ref, out_ref, raw_vmem, x3_vmem, sem,
     n_g = jax.lax.rem(nxt // nd, ng)
     n_ib = nxt // (nd * ng)
 
-    def x_dma(l_ib, l_g, l_idd, l_slot):
-        return pltpu.make_async_copy(
-            x_hbm.at[l_ib, pl.ds(l_idd * sd, sd + 2), :,
-                     pl.ds(l_g * cin, cin), :],
-            raw_vmem.at[l_slot], sem.at[l_slot])
+    def x_dmas(l_ib, l_g, l_idd, l_slot):
+        """Interior + clamped top/bottom halo-row copies per input part.
+        Out-of-range halo rows fetch a clamped row and are zeroed after
+        the wait (unconditional DMA structure keeps start/wait aligned).
+        """
+        copies = []
+        off = 0
+        for pi, (xr, cp) in enumerate(zip(x_refs, cin_parts)):
+            top = jnp.maximum(l_idd * sd - 1, 0)
+            bot = jnp.minimum(l_idd * sd + sd, d_total - 1)
+            csl = pl.ds(l_g * cp, cp)
+            copies.append(pltpu.make_async_copy(
+                xr.at[l_ib, pl.ds(l_idd * sd, sd), :, csl, :],
+                raw_vmem.at[l_slot, pl.ds(1, sd), pl.ds(1, h),
+                            pl.ds(off, cp)],
+                sem.at[l_slot, pi, 0]))
+            copies.append(pltpu.make_async_copy(
+                xr.at[l_ib, top, :, csl, :],
+                raw_vmem.at[l_slot, 0, pl.ds(1, h), pl.ds(off, cp)],
+                sem.at[l_slot, pi, 1]))
+            copies.append(pltpu.make_async_copy(
+                xr.at[l_ib, bot, :, csl, :],
+                raw_vmem.at[l_slot, sd + 1, pl.ds(1, h), pl.ds(off, cp)],
+                sem.at[l_slot, pi, 2]))
+            off += cp
+        return copies
 
     @pl.when(lin == 0)
     def _():
-        x_dma(ib, g, idd, slot).start()
+        for c in x_dmas(ib, g, idd, slot):
+            c.start()
 
     @pl.when(nxt < total)
     def _():
-        x_dma(n_ib, n_g, n_idd, 1 - slot).start()
+        for c in x_dmas(n_ib, n_g, n_idd, 1 - slot):
+            c.start()
 
-    x_dma(ib, g, idd, slot).wait()
+    for c in x_dmas(ib, g, idd, slot):
+        c.wait()
+
+    # the (h+2) halo columns are never DMA-written; zero them once per
+    # VMEM slot (scratch persists across grid cells)
+    @pl.when(lin <= 1)
+    def _():
+        raw_vmem[slot, :, 0] = jnp.zeros((sd + 2, cin, LANES),
+                                         raw_vmem.dtype)
+        raw_vmem[slot, :, h + 1] = jnp.zeros((sd + 2, cin, LANES),
+                                             raw_vmem.dtype)
+
+    if has_prologue:
+        # previous layer's normalize+activation, applied to every real
+        # row (halo rows are neighbours of the same items)
+        scale = scale_ref[0][None, None]       # (1, 1, cin, LANES) f32
+        shift = shift_ref[0][None, None]
+        slope = slope_ref[0][None, None]
+        v = raw_vmem[slot, :, pl.ds(1, h)].astype(jnp.float32)
+        v = v * scale - shift
+        v = jnp.maximum(v, v * slope)
+        raw_vmem[slot, :, pl.ds(1, h)] = v.astype(raw_vmem.dtype)
+
+    # out-of-range d-halo rows (clamped DMAs fetched a duplicate row)
+    @pl.when(idd == 0)
+    def _():
+        raw_vmem[slot, 0, pl.ds(1, h)] = jnp.zeros((h, cin, LANES),
+                                                   raw_vmem.dtype)
+
+    @pl.when(idd == nd - 1)
+    def _():
+        raw_vmem[slot, sd + 1, pl.ds(1, h)] = jnp.zeros((h, cin, LANES),
+                                                        raw_vmem.dtype)
 
     bw = bw_ref[0]           # (N, K) banded weights for member g
     bb = bb_ref[0]           # (N, 1) bias rows
@@ -244,7 +327,8 @@ def _conv_kernel(x_hbm, bw_ref, bb_ref, out_ref, raw_vmem, x3_vmem, sem,
     # along lanes.
     nq = 4 if n_hblk % 4 == 0 else (2 if n_hblk % 2 == 0 else 1)
 
-    def body(i, _):
+    def body(i, carry):
+        acc_s, acc_q = carry
         d0 = (i // (n_hblk // nq)) * qd
         h0 = (i % (n_hblk // nq)) * (qh * nq)
 
@@ -264,7 +348,21 @@ def _conv_kernel(x_hbm, bw_ref, bb_ref, out_ref, raw_vmem, x3_vmem, sem,
         out = jax.lax.dot_general(
             bw, a_mat, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)      # (N, nq*128)
-        out = (out + bb).astype(out_dtype)
+        out = out + bb
+        if emit_stats:
+            # instance-norm statistics of the conv+bias output, reduced
+            # over this block's (qd, qh, nq) positions in f32 registers
+            blk_f = out.reshape(qd, qh, cout, nq, LANES)
+            acc_s = acc_s + jnp.sum(blk_f, axis=(0, 1, 3))
+            acc_q = acc_q + jnp.sum(blk_f * blk_f, axis=(0, 1, 3))
+        # epilogue activation in f32 registers: a standalone
+        # leaky-relu pass costs a full HBM read+write of the activation
+        # (8.75 ms per 64^3 block in the r2 profile)
+        if activation == "leaky":
+            out = jnp.where(out > 0, out, 0.01 * out)
+        elif activation == "relu":
+            out = jnp.maximum(out, 0.0)
+        out = out.astype(out_dtype)
         # the row order (dd, dh, co) makes each lane-block's full (N, 128)
         # output one contiguous (qd, qh, cout, 128) region per d-row
         for q in range(nq):
@@ -272,31 +370,66 @@ def _conv_kernel(x_hbm, bw_ref, bb_ref, out_ref, raw_vmem, x3_vmem, sem,
                 qd, qh, cout, LANES)
             for dd in range(qd):
                 out_ref[0, d0 + dd, pl.ds(h0 + q * qh, qh), :, :] = blk[dd]
-        return 0
+        return acc_s, acc_q
 
-    jax.lax.fori_loop(0, (sd // qd) * (n_hblk // nq), body, 0,
-                      unroll=False)
+    zeros_cl = jnp.zeros((cout, LANES), jnp.float32)
+    acc_s, acc_q = jax.lax.fori_loop(
+        0, (sd // qd) * (n_hblk // nq), body, (zeros_cl, zeros_cl),
+        unroll=False)
+    if emit_stats:
+        # stats blocks are indexed (ib, g) only — revisited across idd,
+        # accumulating the full (D, H, W) reduction
+        @pl.when(idd == 0)
+        def _():
+            sum_ref[0] = acc_s
+            sq_ref[0] = acc_q
+
+        @pl.when(idd != 0)
+        def _():
+            sum_ref[0] = sum_ref[0] + acc_s
+            sq_ref[0] = sq_ref[0] + acc_q
 
 
 def conv3d_banded_packed(x: jnp.ndarray, kernel: jnp.ndarray,
                          bias: Optional[jnp.ndarray] = None,
                          groups: int = 1, *, w_item: int,
+                         x2: Optional[jnp.ndarray] = None,
+                         prologue: Optional[Tuple] = None,
                          tiling: Optional[Tuple[int, int, int]] = None,
-                         interpret: bool = False) -> jnp.ndarray:
+                         activation: str = "none",
+                         emit_stats: bool = False,
+                         interpret: bool = False):
     """Grouped 3x3x3 SAME conv over batch-packed NDHCW activations.
 
     Args:
-        x: (B/bp, D, H, G*Cin, bp*W) packed activations (pack_ndhwc).
-        kernel: (3, 3, 3, Cin, G*Cout) grouped DHWIO weights.
+        x: (B/bp, D, H, G*Cin1, bp*W) packed activations (pack_ndhwc),
+           UNPADDED (halos are assembled in-kernel).
+        kernel: (3, 3, 3, Cin, G*Cout) grouped DHWIO weights, where
+           Cin = Cin1 (+ Cin2 with x2).
         bias: (G*Cout,) or None.
         groups: feature_group_count (ensemble members).
         w_item: per-item W extent inside the 128 packed lanes.
+        x2: optional second input, concatenated after x along each
+           group's channels (the U-Net skip concat, fused).
+        prologue: optional (scale, shift, slope) f32 maps of shape
+           (B/bp, G*Cin, 128) applied as max(v, v*slope) with
+           v = x*scale - shift before convolving (the previous layer's
+           instance norm + activation).
+        activation: fused epilogue ("none" | "leaky" | "relu").
+        emit_stats: also return (sum, sumsq) f32 lane-resolved
+           (B/bp, G*Cout, 128) statistics of the conv+bias output.
 
-    Returns (B/bp, D, H, G*Cout, bp*W) in x.dtype.
+    Returns out, or (out, (sum, sumsq)) with emit_stats.
     """
-    nb, d, h, gc, lanes = x.shape
+    nb, d, h, gc1, lanes = x.shape
     assert lanes == LANES, f"packed lane dim must be {LANES}, got {lanes}"
-    cin = gc // groups
+    cin1 = gc1 // groups
+    cin2 = 0
+    if x2 is not None:
+        assert x2.shape[:3] == (nb, d, h) and x2.shape[4] == lanes
+        cin2 = x2.shape[3] // groups
+        assert cin1 % 8 == 0 and cin2 % 8 == 0, (cin1, cin2)
+    cin = cin1 + cin2
     cout = kernel.shape[4] // groups
     assert kernel.shape[3] == cin, (kernel.shape, cin)
     if cin % 8:
@@ -310,7 +443,15 @@ def conv3d_banded_packed(x: jnp.ndarray, kernel: jnp.ndarray,
         x = xg.reshape(nb, d, h, groups * cin8, lanes)
         kernel = jnp.pad(kernel,
                          ((0, 0),) * 3 + ((0, cin8 - cin), (0, 0)))
-        cin = cin8
+        if prologue is not None:
+            sc, sh, sl = prologue
+            def padmap(m, fill):
+                mm = m.reshape(nb, groups, cin, lanes)
+                mm = jnp.pad(mm, ((0, 0), (0, 0), (0, cin8 - cin), (0, 0)),
+                             constant_values=fill)
+                return mm.reshape(nb, groups * cin8, lanes)
+            prologue = (padmap(sc, 1.0), padmap(sh, 0.0), padmap(sl, 1.0))
+        cin1 = cin = cin8
     qd, qh, sd = tiling or choose_tiling(cout, d, h, cin)
     assert d % qd == 0 and h % qh == 0 and d % sd == 0 and sd % qd == 0
 
@@ -319,44 +460,73 @@ def conv3d_banded_packed(x: jnp.ndarray, kernel: jnp.ndarray,
     bw = banded_weights(kernel, groups, qd, qh, dtype=x.dtype)
     bb = banded_bias(bias, groups, qd, qh)
 
-    x_pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
     n = qd * qh * cout
     k = 3 * (qd + 2) * (qh + 2) * cin
 
+    cin_parts = (cin1,) if x2 is None else (cin1, cin2)
+    inputs = [x] + ([x2] if x2 is not None else [])
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY) for _ in inputs]
+    in_specs += [
+        pl.BlockSpec((1, n, k), lambda ib, g, idd: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n, 1), lambda ib, g, idd: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = inputs + [bw, bb]
+    has_prologue = prologue is not None
+    if has_prologue:
+        for m in prologue:
+            assert m.shape == (nb, groups * cin, lanes), (
+                m.shape, (nb, groups * cin, lanes))
+            in_specs.append(pl.BlockSpec(
+                (1, cin, lanes), lambda ib, g, idd: (ib, g, 0),
+                memory_space=pltpu.VMEM))
+            operands.append(m.astype(jnp.float32))
+
+    out_shapes = [jax.ShapeDtypeStruct((nb, d, h, groups * cout, LANES),
+                                       x.dtype)]
+    out_specs = [pl.BlockSpec(
+        (1, sd, h, cout, LANES),
+        lambda ib, g, idd: (ib, idd, 0, g, 0),
+        memory_space=pltpu.VMEM)]
+    if emit_stats:
+        for _ in range(2):
+            out_shapes.append(jax.ShapeDtypeStruct(
+                (nb, groups * cout, LANES), jnp.float32))
+            out_specs.append(pl.BlockSpec(
+                (1, cout, LANES), lambda ib, g, idd: (ib, g, 0),
+                memory_space=pltpu.VMEM))
+
     grid = (nb, groups, d // sd)
     kernel_fn = functools.partial(
-        _conv_kernel, cin=cin, cout=cout, qd=qd, qh=qh, sd=sd, h=h,
-        w_item=w_item, out_dtype=x.dtype)
+        _conv_kernel, cin_parts=cin_parts, cout=cout, qd=qd, qh=qh, sd=sd,
+        h=h, d_total=d, w_item=w_item, out_dtype=x.dtype,
+        activation=activation, has_prologue=has_prologue,
+        emit_stats=emit_stats)
 
-    out = pl.pallas_call(
+    result = pl.pallas_call(
         kernel_fn,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),             # x_pad in HBM
-            pl.BlockSpec((1, n, k), lambda ib, g, idd: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, 1), lambda ib, g, idd: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, sd, h, cout, LANES),
-            lambda ib, g, idd: (ib, idd, 0, g, 0),
-            memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb, d, h, groups * cout, LANES),
-                                       x.dtype),
+        in_specs=in_specs,
+        out_specs=out_specs if emit_stats else out_specs[0],
+        out_shape=out_shapes if emit_stats else out_shapes[0],
         scratch_shapes=[
             pltpu.VMEM((2, sd + 2, h + 2, cin, LANES), x.dtype),  # raw x2
             pltpu.VMEM((2, sd + 2, h + 2, cin, LANES), x.dtype),  # kw 0/2
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, len(cin_parts), 3)),
         ],
         cost_estimate=pl.CostEstimate(
             # one (N,K)@(K,128) GEMM per output block
             flops=2 * n * k * LANES * (nb * groups * (d // qd) * (h // qh)),
-            bytes_accessed=2 * x.size * x.dtype.itemsize,
+            bytes_accessed=2 * (x.size + (x2.size if x2 is not None else 0))
+            * x.dtype.itemsize,
             transcendentals=0),
         interpret=interpret,
-    )(x_pad, bw, bb)
-    return out
+    )(*operands)
+    if emit_stats:
+        out, ssum, ssq = result
+        return out, (ssum, ssq)
+    return result
 
 
 def conv3d_grouped_banded(x: jnp.ndarray, kernel: jnp.ndarray,
