@@ -136,8 +136,10 @@ def _pool(x, bp):
     reduce_window on the packed lanes cost 95 ms/step in the r2 profile.
     """
     nb, d, h, c, lanes = x.shape
-    m = jnp.maximum(x[:, 0::2], x[:, 1::2])
-    m = jnp.maximum(m[:, :, 0::2], m[:, :, 1::2])
+    # contiguous reshape-max (a strided slice x[:, 0::2] lowers to a
+    # gather -> while loop on TPU: 2x4.5 ms/step in the r2 profile)
+    m = x.reshape(nb, d // 2, 2, h, c, lanes).max(axis=2)
+    m = m.reshape(nb, d // 2, h // 2, 2, c, lanes).max(axis=3)
     m = jnp.maximum(m, _roll_lanes(m, -1))      # even lanes: W-pair max
     cmp = jnp.asarray(_pool_compact_matrix(lanes, bp, False), x.dtype)
     out = jax.lax.dot_general(
@@ -151,8 +153,10 @@ def _pool_repack(x, bp):
     compaction matmul, so the (…, 2, 64) -> (…, 128) lane interleave never
     materializes. (nb, D, H, C, 128) -> (nb/2, D/2, H/2, C, 128)."""
     nb, d, h, c, lanes = x.shape
-    m = jnp.maximum(x[:, 0::2], x[:, 1::2])
-    m = jnp.maximum(m[:, :, 0::2], m[:, :, 1::2])
+    # contiguous reshape-max (a strided slice x[:, 0::2] lowers to a
+    # gather -> while loop on TPU: 2x4.5 ms/step in the r2 profile)
+    m = x.reshape(nb, d // 2, 2, h, c, lanes).max(axis=2)
+    m = m.reshape(nb, d // 2, h // 2, 2, c, lanes).max(axis=3)
     m = jnp.maximum(m, _roll_lanes(m, -1))
     cmp = jnp.asarray(_pool_compact_matrix(lanes, bp, True), x.dtype)
     m = m.reshape(nb // 2, 2, (d // 2) * (h // 2) * c, lanes)
@@ -188,7 +192,8 @@ def _upscale_interleave_matrix(lanes: int, repack: bool):
     return e
 
 
-def _transpose_conv_k2s2(x, params, groups, bp, repack=True):
+def _transpose_conv_k2s2(x, params, groups, bp, repack=True,
+                         activation="none", include_bias=True):
     """Per-member ConvTranspose(k=2, s=2) on the packed layout, parity
     with ensemble_unet3d.GroupedConvTransposeK2S2.
 
@@ -216,14 +221,18 @@ def _transpose_conv_k2s2(x, params, groups, bp, repack=True):
         y = jnp.transpose(y, (4, 7, 5, 1, 6, 2, 0, 3, 8))
         # (nb, p, d, a, h, e, m, o, l): out pack = 2*nb + p
         y = y.reshape(2 * nb, 2 * d, 2 * h, groups * co, lanes)
-    else:
+    elif True:
         y = jax.lax.dot_general(
             y, em, (((3, 8), (0, 1)), ((), ())),
             preferred_element_type=jnp.float32).astype(x.dtype)
         # (m, a, e, o, nb, d, h, l2)
         y = jnp.transpose(y, (4, 5, 1, 6, 2, 0, 3, 7))
         y = y.reshape(nb, 2 * d, 2 * h, groups * co, 2 * lanes)
-    return y + bias.reshape(-1, 1)
+    if not include_bias:
+        # bias (and any activation) ride the consuming conv's prologue
+        # as shift = -bias (a standalone y+bias pass cost 8.8 ms at L1)
+        return y
+    return _apply_act(y + bias.reshape(-1, 1), activation)
 
 
 def _concat_members(a, bb, groups):
@@ -243,15 +252,18 @@ def _apply_act(v, activation):
 
 
 def _conv(x, params, groups, w_item, bp, *, activation="none",
-          interpret=False):
+          x2=None, prologue=None, emit_stats=False, interpret=False):
     """Grouped 3x3x3 SAME conv (Pallas banded GEMM) or 1x1x1 head (einsum)
-    on packed activations. When the packed lane dim is below 128 (small
-    batches whose packs ran out at deep levels), the conv falls back to
-    lax.conv on the unpacked layout — those levels are MXU-wide anyway."""
+    on packed activations, with the v2 kernel's fusions (skip concat,
+    normalize prologue, stats epilogue). When the packed lane dim is
+    below 128 (small batches whose packs ran out at deep levels), the
+    conv falls back to lax.conv on the unpacked layout with the fusions
+    emulated in XLA — those levels are MXU-wide anyway."""
     kernel = params["kernel"]
     bias = params["bias"]
     nb, d, h, gc, lanes = x.shape
     if kernel.shape[0] == 1:  # 1x1x1 head: a pure per-member matmul
+        assert x2 is None and prologue is None and not emit_stats
         cin = gc // groups
         k = kernel.reshape(cin, groups, -1)
         xm = x.reshape(nb, d, h, groups, cin, lanes)
@@ -271,14 +283,84 @@ def _conv(x, params, groups, w_item, bp, *, activation="none",
                                  (nb_, d_, h_, c_, 8, l_))
             x = x.reshape(nb_, d_, h_, c_ * 8, l_)
         return conv3d_banded_packed(x, kernel, bias, groups, w_item=w_item,
+                                    x2=x2, prologue=prologue,
                                     activation=activation,
+                                    emit_stats=emit_stats,
                                     interpret=interpret)
-    flat = unpack_ndhwc(x, bp)
+    # ---- XLA fallback (lanes < 128), fusions emulated -------------------
+    if prologue is not None:
+        sc, sh, sl = prologue
+        xc = x if x2 is None else _concat_members(x, x2, groups)
+        v = (xc.astype(jnp.float32) * sc[:, None, None]
+             - sh[:, None, None])
+        xc = jnp.maximum(v, v * sl[:, None, None]).astype(x.dtype)
+    else:
+        xc = x if x2 is None else _concat_members(x, x2, groups)
+    flat = unpack_ndhwc(xc, bp)
     out = jax.lax.conv_general_dilated(
         flat, kernel, (1, 1, 1), "SAME",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         feature_group_count=groups) + bias
-    return pack_ndhwc(_apply_act(out, activation), bp)
+    packed = pack_ndhwc(_apply_act(out, activation), bp)
+    if not emit_stats:
+        return packed
+    # lane-resolved stats, same contract as the kernel: (nb, C, lanes)
+    # sums of the PRE-activation conv+bias output over (d, h)
+    pre = pack_ndhwc(out, bp).astype(jnp.float32)
+    return packed, (jnp.sum(pre, axis=(1, 2)),
+                    jnp.sum(pre * pre, axis=(1, 2)))
+
+
+# -- instance-norm map plumbing (fused path) ---------------------------------
+
+def _norm_maps(stats, n_vox, bp_src, bp_t, lanes_t, slope):
+    """Stats from a conv's epilogue -> the consumer conv's prologue maps.
+
+    stats: (nb_s, C, lanes_s) f32 lane-resolved (sum, sumsq) of the
+    normalized layer's output. Reduces to per-item mean/var, then
+    broadcasts (scale, shift, slope) into the consumer's packing
+    (bp_t items per pack, lanes_t lanes) — which may differ from the
+    source packing across a pool-repack boundary. Item identity is
+    global index ib*bp + b in both packings."""
+    ssum, ssq = stats
+    nb_s, c, lanes_s = ssum.shape
+    s = jnp.asarray(_lane_block_sum_matrix(lanes_s, bp_src), jnp.float32)
+    dims = (((2,), (0,)), ((), ()))
+
+    def per_item(a):  # (nb_s, C, lanes_s) -> (n_items, C)
+        t = jax.lax.dot_general(a, s, dims)        # (nb_s, C, bp_src)
+        return jnp.transpose(t, (0, 2, 1)).reshape(nb_s * bp_src, c)
+
+    mean = per_item(ssum) / n_vox
+    var = jnp.maximum(per_item(ssq) / n_vox - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + 1e-5)
+    st = jnp.asarray(_lane_block_sum_matrix(lanes_t, bp_t).T, jnp.float32)
+    nb_t = (nb_s * bp_src) // bp_t
+
+    def to_lanes(m):  # (n_items, C) -> (nb_t, C, lanes_t)
+        t = jnp.transpose(m.reshape(nb_t, bp_t, c), (0, 2, 1))
+        return jax.lax.dot_general(t, st, dims)
+
+    scale = to_lanes(inv)
+    return scale, to_lanes(mean * inv), jnp.full_like(scale, slope)
+
+
+def _identity_maps(nb, c, lanes, slope=1.0):
+    one = jnp.ones((nb, c, lanes), jnp.float32)
+    return one, jnp.zeros_like(one), jnp.full_like(one, slope)
+
+
+def _concat_maps(m1, m2, groups):
+    """Per-group channel concat of two prologue map triples (matches the
+    kernel's per-group [part1, part2] channel layout)."""
+    out = []
+    for a, b in zip(m1, m2):
+        nb, _, lanes = a.shape
+        am = a.reshape(nb, groups, -1, lanes)
+        bm = b.reshape(nb, groups, -1, lanes)
+        out.append(jnp.concatenate([am, bm], axis=2)
+                   .reshape(nb, -1, lanes))
+    return tuple(out)
 
 
 # -- the forward --------------------------------------------------------------
@@ -297,6 +379,11 @@ def grouped_forward_packed(grouped_variables: Dict, x: jnp.ndarray,
         w_item: W extent of one item inside the packed lanes.
     Returns packed logits (B/bp, D, H, members, num_classes, 128).
     """
+    if not do_dropout:
+        # stats-chained fused path: norms/activations ride conv
+        # prologues/epilogues, pooling runs on raw conv outputs
+        return _grouped_forward_fused(grouped_variables, x, members,
+                                      w_item, interpret=interpret)
     p = grouped_variables["params"]
     # 17 dropout sites: 8 contract blocks + bottleneck + 8 expand blocks
     rngs = iter(jax.random.split(rng, 17)) if do_dropout else None
@@ -370,6 +457,113 @@ def grouped_forward_packed(grouped_variables: Dict, x: jnp.ndarray,
 
     out = _conv(expand, p["final"], members, state["w"], state["bp"],
                 interpret=interpret)
+    nb, d, h, gc, lanes = out.shape
+    return out.reshape(nb, d, h, members, gc // members, lanes)
+
+
+def _grouped_forward_fused(grouped_variables: Dict, x: jnp.ndarray,
+                           members: int, w_item: int, *,
+                           interpret: bool = False) -> jnp.ndarray:
+    """The deterministic (no-dropout) grouped forward with every
+    instance norm + activation fused into the consuming conv's prologue
+    and every standalone activation into its producing conv's epilogue.
+
+    Correctness rests on two identities:
+    - max-pool commutes with norm+leaky-relu (both monotone increasing,
+      norm scale rsqrt(var+eps) > 0), so pooling runs on RAW conv
+      outputs and normalization is deferred to the next conv's prologue;
+    - the decoder's skip concat is the kernel's fused second input, with
+      per-part prologue maps (identity for the already-upsampled half, the
+      encoder's norm maps + leaky slope for the raw skip half).
+    """
+    p = grouped_variables["params"]
+    if x.shape[-2] == 1:
+        x = jnp.tile(x, (1, 1, 1, members, 1))
+
+    state = {"w": w_item, "bp": x.shape[-1] // w_item}
+    repacks = []
+
+    def conv(v, name, **kw):
+        prm = p[name]["conv"] if "conv" in p[name] else p[name]
+        return _conv(v, prm, members, state["w"], state["bp"],
+                     interpret=interpret, **kw)
+
+    def pool(v):
+        if v.shape[0] > 1:
+            out = _pool_repack(v, state["bp"])
+            state["w"] //= 2
+            state["bp"] *= 2
+            repacks.append(True)
+        else:
+            out = _pool(v, state["bp"])
+            state["w"] //= 2
+            repacks.append(False)
+        return out
+
+    def up(v, name):
+        """Bias-less upscale; returns (y, bias) — the consumer conv adds
+        the bias (and any activation) in its prologue."""
+        repack = repacks.pop()
+        out = _transpose_conv_k2s2(v, p[name], members, state["bp"],
+                                   repack=repack, include_bias=False)
+        state["w"] *= 2
+        if repack:
+            state["bp"] //= 2
+        return out, p[name]["bias"].reshape(-1).astype(jnp.float32)
+
+    def bias_maps(nb, bias_flat, lanes, slope):
+        c = bias_flat.shape[0]
+        one = jnp.ones((nb, c, lanes), jnp.float32)
+        shift = jnp.broadcast_to(-bias_flat[None, :, None], (nb, c, lanes))
+        return one, shift, jnp.full_like(one, slope)
+
+    def maps(stats, n_vox, bp_src):
+        """Norm maps in the CURRENT packing (call after pool/up updates)."""
+        lanes_t = state["bp"] * state["w"]
+        return _norm_maps(stats, n_vox, bp_src, state["bp"], lanes_t,
+                          slope=0.01)
+
+    d0 = x.shape[1]
+
+    # ---- encoder: conv(+stats) -> conv(prologue norm, +stats) -> raw pool
+    skips = []   # (raw activation, stats, n_vox, bp at that level)
+    v = x
+    for lvl in (1, 2, 3, 4):
+        n_vox = (d0 // 2 ** (lvl - 1)) ** 3
+        if lvl == 1:
+            y1, st = conv(v, "contr_1_1", emit_stats=True)
+        else:
+            y1, st = conv(v, f"contr_{lvl}_1", prologue=prev_maps,
+                          emit_stats=True)
+        m1 = maps(st, n_vox, state["bp"])
+        y2, st2 = conv(y1, f"contr_{lvl}_2", prologue=m1, emit_stats=True)
+        skips.append((y2, st2, n_vox, state["bp"],
+                      state["bp"] * state["w"]))
+        v = pool(y2)
+        prev_maps = maps(st2, n_vox, skips[-1][3])
+
+    # ---- bottleneck ----
+    c = conv(v, "center_conv1", prologue=prev_maps, activation="relu")
+    c = conv(c, "center_conv2", activation="relu")
+    e, up_bias = up(c, "center_up")
+    up_slope = 0.0  # center_up output gets a ReLU (slope 0)
+
+    # ---- decoder: split-input convs (skip normalized in-prologue) ----
+    for lvl in (4, 3, 2, 1):
+        skip, st2, n_vox, bp_src, lanes_src = skips.pop()
+        lanes_t = state["bp"] * state["w"]
+        up_maps = bias_maps(e.shape[0], up_bias, lanes_t, up_slope)
+        skip_maps = _norm_maps(st2, n_vox, bp_src, state["bp"], lanes_t,
+                               slope=0.01)
+        e = conv(e, f"expand_{lvl}_1", x2=skip,
+                 prologue=_concat_maps(up_maps, skip_maps, members),
+                 activation="leaky")
+        e = conv(e, f"expand_{lvl}_2", activation="leaky")
+        if lvl > 1:
+            e, up_bias = up(e, f"upscale{lvl}")
+            up_slope = 1.0  # plain upscales pass through unactivated
+
+    out = conv(e, "final")
     nb, d, h, gc, lanes = out.shape
     return out.reshape(nb, d, h, members, gc // members, lanes)
 
