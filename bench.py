@@ -115,6 +115,57 @@ USEFUL_FLOPS_PER_VOLUME = 37.7e9   # fwd convs+transpose-convs, ensemble-5
 PEAK_BF16 = 197e12                 # v5e
 
 
+def measure_small_batch_forward(backend: str, batch: int = 16) -> float:
+    """The production sliding-window regime: real inference feeds the
+    chip window CHUNKS (test_batch_size windows of one volume), far below
+    the staged pool's batch 128. XLA's batch-minor conv layouts collapse
+    there; the batch-packed Pallas pipeline keeps all 128 lanes at any
+    batch. Returns ensemble-5 forward volumes/sec at the given batch
+    (chained scan, same serialization protocol as the staged bench)."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from values_tpu.models.ensemble_unet3d import (
+        group_member_variables, make_grouped_ensemble_predictor)
+    from values_tpu.models.unet3d import UNet3D
+
+    base = UNet3D(num_classes=2, initial_filter_size=8)
+    init = jax.jit(base.init)
+    keys = jax.random.split(jax.random.PRNGKey(0), N_MEMBERS)
+    stacked = group_member_variables(
+        [init(k, jnp.zeros((1, PATCH, PATCH, PATCH, 1))) for k in keys])
+    if backend == "pallas":
+        from values_tpu.models.ensemble_unet3d_pallas import (
+            make_grouped_ensemble_predictor_pallas)
+        _, pred = make_grouped_ensemble_predictor_pallas(
+            2, N_MEMBERS, 8, dtype=jnp.bfloat16)
+    else:
+        _, pred = make_grouped_ensemble_predictor(
+            2, N_MEMBERS, 8, dtype=jnp.bfloat16)
+    x = jax.random.uniform(jax.random.PRNGKey(1),
+                           (batch, PATCH, PATCH, PATCH, 1), jnp.float32)
+    repeats = 8
+
+    @jax.jit
+    def chained(stacked, x, rng):
+        def body(carry, i):
+            xi = x + carry * jnp.float32(1e-30)
+            stack, _ = pred(stacked, xi, jax.random.fold_in(rng, i))
+            s = stack[0, 0, 0, 0, 0, 0].astype(jnp.float32)
+            return s, s
+        return jax.lax.scan(body, jnp.float32(0.0), jnp.arange(repeats))[1]
+
+    rng = jax.random.PRNGKey(0)
+    out = np.asarray(chained(stacked, x, rng))
+    assert np.all(np.isfinite(out))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(chained(stacked, x, rng))
+        best = min(best, time.perf_counter() - t0)
+    return batch * repeats / best
+
+
 def measure_reference_torch_cpu(n_volumes: int = 2) -> float:
     """Measured anchor: the reference's own UNet3D (imported read-only
     from /root/reference as an oracle, like the parity tests) running
@@ -220,6 +271,8 @@ def main() -> None:
 
     mfu = volumes_per_sec * USEFUL_FLOPS_PER_VOLUME / PEAK_BF16
     ref_cpu = measure_reference_torch_cpu()
+    small_pallas = measure_small_batch_forward("pallas")
+    small_xla = measure_small_batch_forward("xla")
     print(json.dumps({
         "metric": "lidc_ensemble5_entropy_inference_throughput",
         "value": round(volumes_per_sec, 2),
@@ -231,6 +284,10 @@ def main() -> None:
         "end_to_end_volumes_per_sec": round(e2e_vps, 2),
         "mfu": round(mfu, 4),
         "measured_reference_torch_cpu_volumes_per_sec": round(ref_cpu, 3),
+        # production sliding-window regime (window chunks of 16): the
+        # batch-packed Pallas pipeline vs XLA grouped convs
+        "window_batch16_pallas_volumes_per_sec": round(small_pallas, 1),
+        "window_batch16_xla_volumes_per_sec": round(small_xla, 1),
     }))
 
 

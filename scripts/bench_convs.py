@@ -23,12 +23,14 @@ import jax.numpy as jnp
 import numpy as np
 
 PEAK_BF16 = 197e12  # v5e
-MEMBERS = 5
+import os
+MEMBERS = int(os.environ.get('BENCH_MEMBERS', 5))
 PATCH = 64
 REPEATS = 8
 
 
-def forward_flops(batch, members=MEMBERS, f=8, patch=PATCH):
+def forward_flops(batch, members=None, f=8, patch=PATCH):
+    members = MEMBERS if members is None else members
     total = 0
     for level, (sp, fin) in enumerate(
             [(patch, f), (patch // 2, 2 * f), (patch // 4, 4 * f),

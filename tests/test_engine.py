@@ -373,3 +373,61 @@ def test_engine_grouped_ssn_matches_vmapped_trunk(rng):
     # cheap sanity: members differ, draws differ
     assert not np.allclose(sg[0], sg[4])
     assert not np.allclose(sg[0], sg[1])
+
+
+def test_engine_pallas_backend_matches_xla(rng, small_model):
+    """backend='pallas' (batch-packed banded-GEMM pipeline, interpret on
+    CPU) must agree with the default vmapped path end to end through the
+    engine (gather -> grouped forward -> stitch)."""
+    model, v0 = small_model
+    v1 = jax.tree_util.tree_map(lambda x: x + 0.03, v0)
+    vol = rng.rand(P, 2 * P, P).astype(np.float32)
+    ref = SlidingWindowEngine(
+        model, [v0, v1], mode="default", n_pred=1, patch_size=P,
+        use_grouped_ensemble=True).run_volume(vol)
+    got = SlidingWindowEngine(
+        model, [v0, v1], mode="default", n_pred=1, patch_size=P,
+        use_grouped_ensemble=True, backend="pallas").run_volume(vol)
+    np.testing.assert_allclose(got[0], ref[0], atol=2e-3)   # softmax sums
+    np.testing.assert_allclose(got[1], ref[1], atol=0)      # counts
+
+
+def test_engine_pallas_backend_rejects_bad_patch(small_model):
+    model, v0 = small_model
+    v1 = jax.tree_util.tree_map(lambda x: x + 0.03, v0)
+    with pytest.raises(ValueError, match="pallas"):
+        SlidingWindowEngine(model, [v0, v1], mode="default", patch_size=24,
+                            use_grouped_ensemble=True, backend="pallas")
+
+
+def test_shape_bucketing_identical_and_bounds_cache(rng, small_model):
+    """shape_bucket pads volumes to a shared compiled shape and crops
+    back: outputs bit-identical, one cached program for near-sized
+    volumes, and the LRU bound holds."""
+    model, variables = small_model
+    vol_a = rng.rand(P, P + 7, P + 2).astype(np.float32)
+    vol_b = rng.rand(P, P + 7, P + 1).astype(np.float32)
+
+    plain = SlidingWindowEngine(model, [variables], mode="default",
+                                patch_size=P)
+    bucketed = SlidingWindowEngine(model, [variables], mode="default",
+                                   patch_size=P, shape_bucket=8,
+                                   max_cached_programs=2)
+    for vol in (vol_a, vol_b):
+        ref = plain.run_volume(vol)
+        got = bucketed.run_volume(vol)
+        for r, g in zip(ref, got):
+            if r is None:
+                assert g is None
+            else:
+                np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+    # both volumes bucket to (16, 24, 24): one shared program
+    assert len(bucketed._process_cache) == 1
+    # LRU bound: flood with distinct chunk lengths
+    for wb in (1, 2, 3):
+        eng2 = SlidingWindowEngine(model, [variables], mode="default",
+                                   patch_size=P, window_batch=wb,
+                                   max_cached_programs=2)
+        eng2._process_cache = bucketed._process_cache
+        eng2.run_volume(vol_a)
+    assert len(bucketed._process_cache) <= 2

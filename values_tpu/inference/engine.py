@@ -45,7 +45,9 @@ class SlidingWindowEngine:
                  dtype: Any = jnp.float32, seed: int = 123,
                  use_grouped_ensemble: bool = False,
                  mesh: Any = None, mesh_strategy: str = "window",
-                 weight_mode: str = "uniform"):
+                 weight_mode: str = "uniform", backend: str = "auto",
+                 shape_bucket: Optional[int] = None,
+                 max_cached_programs: int = 32):
         """``mesh``: an optional jax.sharding.Mesh for multi-chip C1.
         ``mesh_strategy``:
           - "window": the window batch shards along the mesh ``data``
@@ -60,7 +62,19 @@ class SlidingWindowEngine:
         weights every stitched quantity by a separable Gaussian importance
         map (sigma = patch/8), downweighting window borders when windows
         overlap (patch_overlap < 1). With non-overlapping windows both
-        modes normalize to identical outputs."""
+        modes normalize to identical outputs.
+
+        ``backend``: conv lowering for the grouped default/ensemble mode.
+          - "xla": grouped convolutions through XLA's conv emitter; its
+            batch-minor layouts saturate only at window batches >= ~96
+            (measured v5e: 726 vol/s at batch 128 but 86 at batch 16).
+          - "pallas": the batch-packed banded-GEMM pipeline
+            (values_tpu.models.ensemble_unet3d_pallas) — keeps all 128
+            lanes at ANY batch; 3-5x faster at the small window chunks
+            real sliding-window inference uses (ensemble-5: 461 vs 86
+            vol/s at batch 16; crossover ~batch 96). Needs patch_size
+            dividing 128 and a 16-divisible patch (4 pool levels).
+          - "auto": pallas when eligible and window_batch < 96."""
         self.model = model
         self.n_models = len(variables_list)
         self.mode = mode
@@ -76,7 +90,14 @@ class SlidingWindowEngine:
         if weight_mode not in ("uniform", "gaussian"):
             raise ValueError(f"unknown weight_mode {weight_mode!r}")
         self.weight_mode = weight_mode
-        self._process_cache: Dict[Any, Any] = {}
+        # heterogeneous volume shapes (unpadded LIDC, full-res GTA) would
+        # recompile per shape; ``shape_bucket`` pads every volume dim up
+        # to a multiple and crops the outputs back (numerically identical
+        # on the original extent), and the program cache is LRU-bounded
+        self.shape_bucket = shape_bucket
+        self.max_cached_programs = int(max_cached_programs)
+        from collections import OrderedDict
+        self._process_cache: "OrderedDict[Any, Any]" = OrderedDict()
 
         if use_grouped_ensemble and self._grouped_eligible(model):
             # MXU-optimized path: members fused into grouped convolutions
@@ -112,10 +133,19 @@ class SlidingWindowEngine:
                 mc_dropout = bool(getattr(model, "do_dropout", False))
                 member_list = (list(variables_list) * n_pred if mc_dropout
                                else list(variables_list))
-                _, grouped = make_grouped_ensemble_predictor(
-                    model.num_classes, len(member_list),
-                    model.initial_filter_size, dtype=dtype,
-                    do_dropout=mc_dropout)
+                if self._select_backend(backend, mc_dropout):
+                    from ..models.ensemble_unet3d_pallas import (
+                        make_grouped_ensemble_predictor_pallas)
+                    _, grouped = make_grouped_ensemble_predictor_pallas(
+                        model.num_classes, len(member_list),
+                        model.initial_filter_size, dtype=dtype,
+                        do_dropout=mc_dropout,
+                        interpret=jax.devices()[0].platform != "tpu")
+                else:
+                    _, grouped = make_grouped_ensemble_predictor(
+                        model.num_classes, len(member_list),
+                        model.initial_filter_size, dtype=dtype,
+                        do_dropout=mc_dropout)
             self.stacked_variables = jax.tree_util.tree_map(
                 jnp.asarray, group_member_variables(member_list))
 
@@ -154,6 +184,29 @@ class SlidingWindowEngine:
         self.stacked_variables = jax.device_put(
             self.stacked_variables, sample_sharding(self.mesh))
         self.predictor = lambda v, x, rng: (sharded(v, x, rng), None)
+
+    def _select_backend(self, backend: str, mc_dropout: bool) -> bool:
+        """True -> the batch-packed Pallas pipeline; False -> XLA convs.
+        Pallas needs 128 % patch == 0 (lane packing), patch % 16 == 0
+        (four pool levels), a TPU device, and the deterministic fused
+        path (dropout falls back to XLA's grouped lowering)."""
+        if backend not in ("auto", "xla", "pallas"):
+            raise ValueError(f"unknown backend {backend!r}")
+        eligible = (128 % self.patch_size == 0
+                    and self.patch_size % 16 == 0
+                    and not mc_dropout
+                    and self.mesh is None)
+        if backend == "pallas":
+            if not eligible:
+                raise ValueError(
+                    "backend='pallas' needs 128 %% patch_size == 0, "
+                    "patch_size %% 16 == 0, no dropout and no mesh "
+                    f"(patch_size={self.patch_size})")
+            return True  # non-TPU platforms run in interpret mode
+        # auto: XLA's batch-minor conv layouts only win at large window
+        # batches (measured crossover ~96 on v5e)
+        return (backend == "auto" and eligible and self.window_batch < 96
+                and jax.devices()[0].platform == "tpu")
 
     def _grouped_eligible(self, model: Any) -> bool:
         from ..models.ssn_unet3d import SsnUNet3D
@@ -293,6 +346,18 @@ class SlidingWindowEngine:
         self.rng, sub = jax.random.split(self.rng)
         return sub
 
+    def _cached(self, key, builder):
+        """LRU-bounded compiled-program cache (heterogeneous volume
+        shapes would otherwise grow it without bound)."""
+        if key in self._process_cache:
+            self._process_cache.move_to_end(key)
+            return self._process_cache[key]
+        fn = builder()
+        self._process_cache[key] = fn
+        while len(self._process_cache) > self.max_cached_programs:
+            self._process_cache.popitem(last=False)
+        return fn
+
     # -----------------------------------------------------------------
     def run_volume(self, volume: np.ndarray,
                    labels: Optional[np.ndarray] = None,
@@ -300,11 +365,23 @@ class SlidingWindowEngine:
         """Predict one volume. Returns reference-layout numpy arrays:
         (softmax_sums (S, C, *vol), counts (*vol), data_sums (*vol),
         seg_sums (R, *vol) | None, sigma_sums (S, C, *vol) | None)."""
-        vol_shape = tuple(volume.shape)
+        orig_shape = tuple(volume.shape)
         if starts is None:
             starts = enumerate_window_starts(
-                vol_shape, self.patch_size, self.patch_overlap)
+                orig_shape, self.patch_size, self.patch_overlap)
         starts = np.asarray(starts)
+
+        # shape bucketing: zero-pad dims up to the bucket multiple so
+        # near-sized volumes share one compiled program; windows only
+        # cover the original extent and outputs are cropped back, so the
+        # results are bit-identical on the original voxels
+        if self.shape_bucket:
+            q = int(self.shape_bucket)
+            bucketed = tuple(-(-dim // q) * q for dim in orig_shape)
+            if bucketed != orig_shape:
+                volume = np.pad(volume, [(0, b - d) for d, b in
+                                         zip(orig_shape, bucketed)])
+        vol_shape = tuple(volume.shape)
 
         # chunk the window batch to bound activation memory; the ragged
         # last chunk runs unpadded (the process-fn cache keys on chunk
@@ -395,6 +472,15 @@ class SlidingWindowEngine:
                     jnp.asarray(starts), vol_shape))
                 seg_sums = np.rint(
                     seg_sums / np.where(wsum == 0, 1, wsum))
+        if vol_shape != orig_shape:  # crop the bucketing pad back off
+            sl = tuple(slice(0, dim) for dim in orig_shape)
+            softmax_sums = softmax_sums[(slice(None), slice(None)) + sl]
+            counts_np = counts_np[sl]
+            data_np = data_np[sl]
+            if sigma_sums is not None:
+                sigma_sums = sigma_sums[(slice(None), slice(None)) + sl]
+            if seg_sums is not None:
+                seg_sums = seg_sums[(slice(None),) + sl]
         return softmax_sums, counts_np, data_np, seg_sums, sigma_sums
 
     # -----------------------------------------------------------------

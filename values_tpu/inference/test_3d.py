@@ -50,6 +50,17 @@ def test_cli(argv=None) -> argparse.Namespace:
                         help="stitching weight for overlapping windows: "
                              "uniform (reference parity) or a Gaussian "
                              "importance map")
+    parser.add_argument("--backend", type=str, default="auto",
+                        choices=("auto", "xla", "pallas"),
+                        help="conv lowering for the grouped ensemble: "
+                             "the batch-packed Pallas pipeline is 3-5x "
+                             "faster at small window chunks (auto picks "
+                             "it when eligible)")
+    parser.add_argument("--shape_bucket", type=int, default=None,
+                        help="pad volume dims up to this multiple so "
+                             "near-sized volumes share one compiled "
+                             "program (outputs are cropped back; "
+                             "numerically identical)")
     return parser.parse_args(argv)
 
 
@@ -122,7 +133,9 @@ def build_engine(hparams: Dict, variables_list: List, args,
         dtype=dtype, seed=hparams.get("seed", 123),
         window_batch=getattr(args, "test_batch_size", 12) or 12,
         use_grouped_ensemble=getattr(args, "grouped_ensemble", True),
-        weight_mode=getattr(args, "weight_mode", "uniform"))
+        weight_mode=getattr(args, "weight_mode", "uniform"),
+        backend=getattr(args, "backend", "auto"),
+        shape_bucket=getattr(args, "shape_bucket", None))
     return engine, is_ssn
 
 

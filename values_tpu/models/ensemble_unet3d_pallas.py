@@ -270,7 +270,9 @@ def _conv(x, params, groups, w_item, bp, *, activation="none",
         out = jnp.einsum("ndhmil,imo->ndhmol", xm, k)
         out = out.reshape(nb, d, h, -1, lanes)
         return _apply_act(out + bias.reshape(-1, 1), activation)
-    if lanes == LANES:
+    # the Mosaic out-block needs an 8-aligned per-group Cout (production
+    # filter sizes are >= 8; tiny test models take the XLA fallback)
+    if lanes == LANES and (kernel.shape[4] // groups) % 8 == 0:
         if kernel.shape[3] == 1:
             # Mosaic slices the channel (sublane) dim in 8-aligned blocks;
             # replicate the single input channel 8x with kernel/8 (exact
