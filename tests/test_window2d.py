@@ -1,0 +1,64 @@
+"""2D full-resolution sliding-window inference (values_tpu extension;
+the reference runs whole 0.25x images — test_2D.py)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from values_tpu.inference.window2d import (SlidingPredictor2D,
+                                           enumerate_window_starts_2d,
+                                           predict_sliding_2d)
+
+
+def test_starts_cover_and_flush_to_edge():
+    starts = enumerate_window_starts_2d((100, 70), (64, 64), overlap=0.5)
+    # H starts: 0, 32, 36(flush); W starts: 0, 6(flush)
+    assert starts.tolist() == [[0, 0], [0, 6], [32, 0], [32, 6],
+                               [36, 0], [36, 6]]
+    cov = np.zeros((100, 70), np.int32)
+    for a, b in starts:
+        cov[a:a + 64, b:b + 64] += 1
+    assert (cov > 0).all()
+
+
+def test_pixel_local_forward_exact():
+    """For a pixel-local forward, sliding output == whole-image output
+    exactly (overlap averaging of identical values)."""
+    rng = np.random.RandomState(0)
+    img = rng.rand(50, 37, 3).astype(np.float32)
+
+    def forward(x):  # (1, h, w, 3) -> (1, h, w, 4) softmax, pixel-local
+        logits = jnp.stack([x[..., 0], 2 * x[..., 1], x[..., 2] ** 2,
+                            x.sum(-1)], axis=-1)
+        return jax.nn.softmax(logits, axis=-1)
+
+    whole = np.asarray(forward(img[None]))[0]
+    tiled = predict_sliding_2d(forward, img, (16, 16), 4, overlap=0.5)
+    np.testing.assert_allclose(tiled, whole, atol=1e-6)
+    # short-axis reflect-pad path: image narrower than the patch
+    narrow = img[:, :9]
+    tiled_n = predict_sliding_2d(forward, narrow, (16, 16), 4,
+                                 overlap=0.5)
+    np.testing.assert_allclose(tiled_n,
+                               np.asarray(forward(narrow[None]))[0],
+                               atol=1e-6)
+
+
+def test_sliding_predictor_hrnet_smoke():
+    """SlidingPredictor2D drives a real (tiny) HRNet: finite softmax,
+    sums to 1, one compiled program reused across images."""
+    from values_tpu.models.hrnet import HighResolutionNet
+    from tests.test_hrnet import small_cfg
+
+    model = HighResolutionNet(cfg=small_cfg(num_classes=5))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 32, 32, 3)))
+    sp = SlidingPredictor2D(model, (32, 32), 5, overlap=0.5)
+    rng = np.random.RandomState(1)
+    for i in range(2):
+        img = rng.rand(48, 40, 3).astype(np.float32)
+        out = sp(variables, img, jax.random.PRNGKey(i))
+        assert out.shape == (48, 40, 5)
+        assert np.isfinite(out).all()
+        np.testing.assert_allclose(out.sum(-1), 1.0, atol=1e-5)

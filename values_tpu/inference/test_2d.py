@@ -58,6 +58,15 @@ class Tester2D:
         self.is_ssn = bool(getattr(self.models[0][0], "ssn", False))
         self.results_dict: Dict[str, Dict] = {}
         self.rng = jax.random.PRNGKey(int(hparams["seed"]))
+        # full-resolution sliding-window forward (values_tpu extension;
+        # the reference always runs whole 0.25x images)
+        self.sliding_window = getattr(args, "sliding_window", None)
+        self.sliding_overlap = getattr(args, "sliding_overlap", 0.5)
+        self._sliding_cache: Dict[int, object] = {}
+        if self.sliding_window is not None and self.is_ssn:
+            raise ValueError("--sliding_window is not supported for SSN "
+                             "models (distribution sampling needs the "
+                             "whole-image covariance)")
 
         save_root = args.save_dir or hparams["save_dir"]
         exp_name = args.exp_name or hparams["exp_name"]
@@ -106,6 +115,19 @@ class Tester2D:
         2D MC-dropout mechanism.
         """
         self.rng, key = jax.random.split(self.rng)
+        if self.sliding_window is not None:
+            from .window2d import SlidingPredictor2D
+            sp = self._sliding_cache.get(id(model))
+            if sp is None:
+                sp = SlidingPredictor2D(
+                    model, self.sliding_window, model.num_classes,
+                    overlap=self.sliding_overlap)
+                self._sliding_cache[id(model)] = sp
+            x = np.asarray(x)
+            return jnp.stack([
+                jnp.asarray(sp(variables, x[i],
+                               jax.random.fold_in(key, i)))
+                for i in range(x.shape[0])])
         needs_rng = bool(getattr(model, "dropout_final", False))
         kwargs = {"rngs": {"dropout": key}} if needs_rng else {}
         logits = model.apply(variables, jnp.asarray(x), **kwargs)

@@ -56,6 +56,14 @@ def test_cli(argv=None) -> argparse.Namespace:
                              "the batch-packed Pallas pipeline is 3-5x "
                              "faster at small window chunks (auto picks "
                              "it when eligible)")
+    parser.add_argument("--sliding_window", type=int, nargs=2,
+                        default=None, metavar=("PH", "PW"),
+                        help="2D tester only: window the forward over "
+                             "full-resolution images (PH x PW patches, "
+                             "count-averaged overlaps) instead of one "
+                             "whole-image pass")
+    parser.add_argument("--sliding_overlap", type=float, default=0.5,
+                        help="2D sliding-window stride fraction")
     parser.add_argument("--shape_bucket", type=int, default=None,
                         help="pad volume dims up to this multiple so "
                              "near-sized volumes share one compiled "
