@@ -158,3 +158,43 @@ def test_checkpoint_retention(tmp_path):
     last = load_checkpoint(str(tmp_path / "last.ckpt"))
     assert last["epoch"] == 5 and last["global_step"] == 60
     assert ret.best_path.endswith("epoch=3-val_loss=0.3000.ckpt")
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Orbax format: save/load payload parity with the pickle format and
+    transparent loading through load_checkpoint/load_any_checkpoint."""
+    import jax.numpy as jnp
+    from values_tpu.training.checkpoint import (
+        load_any_checkpoint, load_checkpoint, save_checkpoint_orbax)
+
+    variables = {"params": {"conv": {"kernel": np.arange(12.).reshape(3, 4),
+                                     "bias": np.zeros(4)}}}
+    opt_state = {"mu": {"conv": {"kernel": np.ones((3, 4))}}}
+    path = str(tmp_path / "ck_orbax")
+    save_checkpoint_orbax(path, variables, {"exp_name": "E", "seed": 7},
+                          epoch=3, global_step=42, opt_state=opt_state)
+    payload = load_checkpoint(path)
+    assert payload["epoch"] == 3 and payload["global_step"] == 42
+    np.testing.assert_array_equal(
+        payload["state_dict"]["params"]["conv"]["kernel"],
+        variables["params"]["conv"]["kernel"])
+    np.testing.assert_array_equal(
+        payload["opt_state"]["mu"]["conv"]["kernel"], 1.0)
+    hparams, vs = load_any_checkpoint(path)
+    assert hparams["exp_name"] == "E"
+    assert vs["params"]["conv"]["bias"].shape == (4,)
+
+
+def test_retention_orbax_format(tmp_path):
+    from values_tpu.training.checkpoint import (CheckpointRetention,
+                                                load_checkpoint)
+
+    ret = CheckpointRetention(str(tmp_path), save_top_k=1, fmt="orbax")
+    for epoch, v in enumerate((0.5, 0.2, 0.9)):
+        ret.save({"params": {"w": np.zeros(2)}}, {"c": 1}, epoch=epoch,
+                 global_step=epoch, monitored=v)
+    names = sorted(p.name for p in tmp_path.iterdir())
+    assert "last.ckpt" in names
+    assert "epoch=1-val_loss=0.2000.ckpt" in names
+    assert not any("0.5000" in n or "0.9000" in n for n in names)
+    assert load_checkpoint(str(tmp_path / "last.ckpt"))["epoch"] == 2

@@ -431,3 +431,19 @@ def test_shape_bucketing_identical_and_bounds_cache(rng, small_model):
         eng2._process_cache = bucketed._process_cache
         eng2.run_volume(vol_a)
     assert len(bucketed._process_cache) <= 2
+
+
+def test_engine_pallas_tta_matches_xla(rng, small_model):
+    """backend='pallas' grouped TTA == the XLA grouped TTA through the
+    engine (same variant set/order, same rng stream)."""
+    model, v0 = small_model
+    vol = rng.rand(P, P, P).astype(np.float32)
+    ref = SlidingWindowEngine(
+        model, [v0], mode="tta", n_pred=1, patch_size=P,
+        use_grouped_ensemble=True, seed=5).run_volume(vol)
+    got = SlidingWindowEngine(
+        model, [v0], mode="tta", n_pred=1, patch_size=P,
+        use_grouped_ensemble=True, seed=5,
+        backend="pallas").run_volume(vol)
+    assert got[0].shape == ref[0].shape == (16, 2, P, P, P)
+    np.testing.assert_allclose(got[0], ref[0], atol=2e-3)

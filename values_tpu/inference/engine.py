@@ -113,9 +113,17 @@ class SlidingWindowEngine:
                 member_list = []
                 for v in variables_list:
                     member_list.extend([v] * 16)
-                _, grouped = make_grouped_tta_predictor(
-                    model.num_classes, self.n_models,
-                    model.initial_filter_size, dtype=dtype)
+                if self._select_backend(backend, mc_dropout=False):
+                    from ..models.ensemble_unet3d_pallas import (
+                        make_grouped_tta_predictor_pallas)
+                    _, grouped = make_grouped_tta_predictor_pallas(
+                        model.num_classes, self.n_models,
+                        model.initial_filter_size, dtype=dtype,
+                        interpret=jax.devices()[0].platform != "tpu")
+                else:
+                    _, grouped = make_grouped_tta_predictor(
+                        model.num_classes, self.n_models,
+                        model.initial_filter_size, dtype=dtype)
             elif mode == "aleatoric":
                 member_list = list(variables_list)
                 _, grouped = make_grouped_aleatoric_predictor(

@@ -603,3 +603,50 @@ def make_grouped_ensemble_predictor_pallas(num_classes: int, members: int,
         return jnp.moveaxis(probs, -2, 0), None  # (M, B, D, H, W, C)
 
     return None, predict
+
+
+def make_grouped_tta_predictor_pallas(num_classes: int, members: int,
+                                      initial_filter_size: int = 8,
+                                      dtype=jnp.bfloat16,
+                                      interpret: bool = False):
+    """TTA through the batch-packed pipeline: the 16 clean/noise x flip
+    variants (per member) become channel groups like
+    ensemble_unet3d.make_grouped_tta_predictor (same variant set,
+    ordering and un-flip semantics; reference loop test_3D.py:427-456),
+    but every conv runs in the packed layout — at the small window
+    chunks real inference uses this is the 3-5x regime, multiplied by
+    TTA's 16 variants."""
+    from ..inference.predictors import FLIP_COMBOS
+
+    groups = members * 16
+    _, inner = make_grouped_ensemble_predictor_pallas(
+        num_classes, groups, initial_filter_size, dtype=dtype,
+        interpret=interpret)
+
+    def predict(grouped_variables, x, rng):
+        var_key, noise_key = jax.random.split(rng)
+        variance = jax.random.uniform(var_key, (), minval=0.0, maxval=0.1)
+        noise = jax.random.normal(noise_key, x.shape, dtype=x.dtype)
+        x_noise = x + noise * variance
+
+        def variants(inp):
+            outs = [inp]
+            for axes in FLIP_COMBOS:
+                outs.append(jnp.flip(inp, axis=axes))
+            return outs
+
+        per_member = variants(x) + variants(x_noise)
+        stacked_in = jnp.concatenate(per_member * members, axis=-1)
+        probs, _ = inner(grouped_variables, stacked_in, rng)
+        # probs: (groups, B, *sp, C); un-flip the flipped variants
+        unflipped = []
+        for m in range(members):
+            for half in range(2):
+                base = m * 16 + half * 8
+                unflipped.append(probs[base])
+                for fi, axes in enumerate(FLIP_COMBOS):
+                    unflipped.append(jnp.flip(probs[base + 1 + fi],
+                                              axis=axes))
+        return jnp.stack(unflipped), None
+
+    return None, predict

@@ -44,6 +44,8 @@ def save_checkpoint(path: str, variables: Any, hyper_parameters: Dict,
 
 
 def load_checkpoint(path: str) -> Dict:
+    if is_orbax_checkpoint(path):
+        return load_checkpoint_orbax(path)
     with open(path, "rb") as f:
         payload = pickle.load(f)
     if not (isinstance(payload, dict) and payload.get("format") == FORMAT_KEY):
@@ -60,6 +62,9 @@ def _is_torch_zipfile(path: str) -> bool:
 def load_any_checkpoint(path: str) -> Tuple[Dict, Any]:
     """Return (hyper_parameters, variables) from a native or reference
     checkpoint."""
+    if is_orbax_checkpoint(path):
+        payload = load_checkpoint_orbax(path)
+        return payload["hyper_parameters"], payload["state_dict"]
     if _is_torch_zipfile(path):
         from ..models.torch_import import load_reference_checkpoint
         hparams, variables = load_reference_checkpoint(path)
@@ -91,11 +96,15 @@ class CheckpointRetention:
     """
 
     def __init__(self, ckpt_dir: str, save_top_k: int = 0,
-                 every_n_epochs: int = 0, monitor: str = "val_loss"):
+                 every_n_epochs: int = 0, monitor: str = "val_loss",
+                 fmt: str = "pickle"):
+        if fmt not in ("pickle", "orbax"):
+            raise ValueError(f"unknown checkpoint format {fmt!r}")
         self.ckpt_dir = Path(ckpt_dir)
         self.save_top_k = int(save_top_k)
         self.every_n_epochs = int(every_n_epochs)
         self.monitor = monitor
+        self.fmt = fmt
         self._best: list = []  # (value, path), sorted ascending
 
     def save(self, variables: Any, hyper_parameters: Dict, *, epoch: int,
@@ -103,8 +112,10 @@ class CheckpointRetention:
              monitored: float = None) -> str:
         def write(name: str) -> str:
             path = str(self.ckpt_dir / name)
-            save_checkpoint(path, variables, hyper_parameters, epoch=epoch,
-                            global_step=global_step, opt_state=opt_state)
+            saver = (save_checkpoint_orbax if self.fmt == "orbax"
+                     else save_checkpoint)
+            saver(path, variables, hyper_parameters, epoch=epoch,
+                  global_step=global_step, opt_state=opt_state)
             return path
 
         last = write("last.ckpt")
@@ -121,10 +132,62 @@ class CheckpointRetention:
                 self._best.sort(key=lambda t: t[0])
                 while len(self._best) > self.save_top_k:
                     _, worst = self._best.pop()
-                    Path(worst).unlink(missing_ok=True)
+                    if Path(worst).is_dir():
+                        import shutil
+                        shutil.rmtree(worst, ignore_errors=True)
+                    else:
+                        Path(worst).unlink(missing_ok=True)
         return last
 
     @property
     def best_path(self) -> str:
         return self._best[0][1] if self._best else str(
             self.ckpt_dir / "last.ckpt")
+
+
+# -- orbax backend (large states, async-capable, zarr-sharded) --------------
+
+def save_checkpoint_orbax(path: str, variables: Any, hyper_parameters: Dict,
+                          epoch: int = 0, global_step: int = 0,
+                          opt_state: Any = None) -> None:
+    """Directory-based orbax checkpoint with the same self-describing
+    payload as the pickle format. For multi-GB states orbax writes
+    zarr-sharded arrays (parallel IO, partial restore) — the production
+    choice the pickle format cannot scale to."""
+    import orbax.checkpoint as ocp
+    path = Path(path).absolute()
+    if path.exists():
+        import shutil
+        shutil.rmtree(path)
+    payload = {"state_dict": _to_numpy_tree(variables)}
+    if opt_state is not None:
+        payload["opt_state"] = _to_numpy_tree(opt_state)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, payload)
+    meta = {"format": FORMAT_KEY, "hyper_parameters": hyper_parameters,
+            "epoch": epoch, "global_step": global_step,
+            "has_opt_state": opt_state is not None}
+    with open(path / "values_tpu_meta.pkl", "wb") as f:
+        pickle.dump(meta, f)
+
+
+def load_checkpoint_orbax(path: str) -> Dict:
+    """Load an orbax checkpoint dir into the pickle-format payload dict."""
+    import orbax.checkpoint as ocp
+    path = Path(path).absolute()
+    with open(path / "values_tpu_meta.pkl", "rb") as f:
+        meta = pickle.load(f)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        payload = ckptr.restore(path)
+    out = {"format": FORMAT_KEY,
+           "state_dict": payload["state_dict"],
+           "hyper_parameters": meta["hyper_parameters"],
+           "epoch": meta["epoch"], "global_step": meta["global_step"]}
+    if meta.get("has_opt_state"):
+        out["opt_state"] = payload["opt_state"]
+    return out
+
+
+def is_orbax_checkpoint(path: str) -> bool:
+    return (Path(path).is_dir()
+            and (Path(path) / "values_tpu_meta.pkl").exists())

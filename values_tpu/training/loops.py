@@ -201,7 +201,8 @@ def fit(cfg: Config, max_steps_override: Optional[int] = None,
     retention = CheckpointRetention(
         ckpt_dir, save_top_k=int(cfg.get("save_top_k", 0) or 0),
         every_n_epochs=int(cfg.get("checkpoint_every_n_epochs", 0) or 0),
-        monitor="val_loss")
+        monitor="val_loss",
+        fmt=str(cfg.get("checkpoint_format", "pickle")))
     # gradient_clip_val is applied inside Experiment.train_step_fn
     # (torch clip_grad_norm_ semantics, optim.clip_grads_by_global_norm)
 
