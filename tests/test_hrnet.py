@@ -150,3 +150,49 @@ def test_get_seg_model_factory():
     model = get_seg_model(small_cfg())
     assert model.num_classes == 5
     assert not model.ssn
+
+
+def test_pretrained_warm_start_merges_matching_keys(tmp_path):
+    """MODEL.PRETRAINED (converted pickle) warm-starts training init:
+    matching keys/shapes replaced, the rest (incl. last_layer) kept."""
+    import pickle
+    import jax
+    import jax.numpy as jnp
+    from values_tpu.config import make_config
+    from values_tpu.models.hrnet import HighResolutionNet
+    from values_tpu.training.experiment import Experiment
+
+    cfg_dict = small_cfg(num_classes=5)
+    model = HighResolutionNet(cfg=cfg_dict)
+    donor = jax.jit(model.init)(jax.random.PRNGKey(7),
+                                jnp.zeros((1, 32, 32, 3)))
+    donor_np = jax.tree_util.tree_map(np.asarray, donor)
+    pk = tmp_path / "pre.pkl"
+    with open(pk, "wb") as f:
+        pickle.dump({"variables": donor_np}, f)
+
+    cfg = make_config({
+        "model": {"_target_": "values_tpu.models.hrnet.HighResolutionNet",
+                  "cfg": cfg_dict},
+        "MODEL": {"PRETRAINED": str(pk),
+                  "INPUT_CHANNELS": 3},
+        "AUGMENTATIONS": {"height": 32, "width": 32},
+        "datamodule": {"ignore_index": 0},
+        "seed": 1,
+    })
+    exp = Experiment(cfg)
+    state = exp.init_state_2d(jax.random.PRNGKey(0), 32, 32, 3)
+    got = state.params["conv1"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(got),
+                                  donor_np["params"]["conv1"]["kernel"])
+    cfg2 = make_config({
+        "model": {"_target_": "values_tpu.models.hrnet.HighResolutionNet",
+                  "cfg": cfg_dict},
+        "MODEL": {"PRETRAINED": str(tmp_path / "nope.pkl"),
+                  "INPUT_CHANNELS": 3},
+        "AUGMENTATIONS": {"height": 32, "width": 32},
+        "datamodule": {"ignore_index": 0},
+        "seed": 1,
+    })
+    with pytest.raises(FileNotFoundError):
+        Experiment(cfg2).init_state_2d(jax.random.PRNGKey(0), 32, 32, 3)

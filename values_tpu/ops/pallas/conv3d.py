@@ -337,7 +337,7 @@ def _conv_kernel(*refs, cin_parts, cout, qd: int, qh: int, sd: int,
     # engages only part of the chip's MXUs (measured 38% of peak); N=512
     # reaches 84%. The A matrices of nq consecutive h-blocks concatenate
     # along lanes.
-    nq = 4 if n_hblk % 4 == 0 else (2 if n_hblk % 2 == 0 else 1)
+    nq = next((q for q in (16, 8, 4, 2, 1) if n_hblk % q == 0))
 
     def body(i, carry):
         acc_s, acc_q = carry

@@ -123,7 +123,41 @@ class Experiment:
                       in_channels: int = 3) -> TrainState:
         sample = jnp.zeros((1, height, width, in_channels))
         variables = jax.jit(self.model.init)(rng, sample)
+        variables = self._merge_pretrained_2d(variables)
         return self.state_from_variables(variables)
+
+    def _merge_pretrained_2d(self, variables):
+        """HRNet ImageNet warm start: MODEL.PRETRAINED names a weights
+        file — a torch ``.pth`` (converted via torch_import) or the
+        pickle written by scripts/fetch_hrnet_pretrained.py. Matching
+        keys/shapes are merged with the reference's filtering semantics
+        (hrnet_module.py:682-737); anything else stays initialized."""
+        pretrained = self.cfg.select("MODEL.PRETRAINED", None)
+        if not pretrained or pretrained is True or not isinstance(
+                pretrained, str):
+            return variables
+        import os
+        if not os.path.exists(pretrained):
+            raise FileNotFoundError(
+                f"MODEL.PRETRAINED={pretrained!r} not found; fetch with "
+                "scripts/fetch_hrnet_pretrained.py")
+        from ..models.torch_import import (hrnet_params_from_torch,
+                                           merge_pretrained_hrnet)
+        import pickle as _pickle
+        with open(pretrained, "rb") as f:
+            head = f.read(2)
+        if head == b"PK":  # torch zip .pth
+            import torch
+            state = torch.load(pretrained, map_location="cpu",
+                               weights_only=False)
+            if "state_dict" in state:
+                state = state["state_dict"]
+            converted = hrnet_params_from_torch(state)
+        else:
+            with open(pretrained, "rb") as f:
+                payload = _pickle.load(f)
+            converted = payload.get("variables", payload)
+        return merge_pretrained_hrnet(variables, converted)
 
     def state_from_variables(self, variables: Any) -> TrainState:
         params = variables["params"] if "params" in variables else variables
