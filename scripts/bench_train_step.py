@@ -1,0 +1,72 @@
+"""Training-step throughput on the real chip: f32 vs bf16 mixed
+precision (UNet3D softmax config geometry: batch 8, 64^3, filters 8,
+Dice+CE, Adam). Staged batch + lax.scan chaining (the relay tunnel adds
+multi-hundred-ms per dispatch; the scan amortizes it like bench.py).
+
+Run: python scripts/bench_train_step.py [batch]
+"""
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+REPEATS = 8
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from values_tpu.config import make_config
+    from values_tpu.training.experiment import Experiment
+
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).resolve().parents[1] / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    rs = np.random.RandomState(0)
+    data = jnp.asarray(rs.rand(batch, 64, 64, 64, 1).astype(np.float32))
+    seg = jnp.asarray((rs.rand(batch, 64, 64, 64) > 0.5).astype(np.int32))
+    print(f"device={jax.devices()[0]} batch={batch} 64^3 f8 Dice+CE Adam")
+
+    for precision in ("32", "bf16"):
+        cfg = make_config({
+            "model": {"_target_": "values_tpu.models.unet3d.UNet3D",
+                      "num_classes": 2, "initial_filter_size": 8},
+            "datamodule": {"ignore_index": 0},
+            "learning_rate": 1e-4, "precision": precision, "seed": 1,
+        })
+        exp = Experiment(cfg)
+        state = exp.init_state(jax.random.PRNGKey(0), 64, 1)
+
+        import functools
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def steps(state, data, seg, rng):
+            def body(st, i):
+                st, loss = exp.train_step_fn(
+                    st, {"data": data, "seg": seg},
+                    jax.random.fold_in(rng, i), False)
+                return st, loss
+            return jax.lax.scan(body, state, jnp.arange(REPEATS))
+
+        rng = jax.random.PRNGKey(1)
+        state, losses = steps(state, data, seg, rng)
+        jax.block_until_ready(losses)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            state, losses = steps(state, data, seg, rng)
+            np.asarray(losses)
+            best = min(best, time.perf_counter() - t0)
+        ms = best / REPEATS * 1e3
+        print(f"precision={precision:<5s} {ms:8.1f} ms/step  "
+              f"{batch / (ms / 1e3):7.1f} vol/s  "
+              f"final_loss={float(losses[-1]):.4f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

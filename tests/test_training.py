@@ -321,3 +321,37 @@ def test_fit_mixed_precision_bf16(toy_dataset, tmp_path):
                    for l in jax.tree_util.tree_leaves(state.params))
     np.testing.assert_allclose(losses["bf16"], losses["32"],
                                rtol=2e-2, atol=2e-2)
+
+
+def test_fit_hybrid_dcn_mesh(tmp_path):
+    """devices=8 + dcn_granules=2 trains through the granule-major
+    hybrid mesh on the virtual 8-device CPU mesh (the multi-slice
+    production config shape). Needs >= 8 train images per batch, so it
+    generates its own 16-image toy set."""
+    import random
+    from values_tpu.config import compose
+    root = tmp_path / "data"
+    case = root / "Case_1"
+    for split, n in (("Tr", 16), ("Ts", 2)):
+        gen = ToyGenConfig(
+            input_files=["ballSphere.stl"],
+            save_path=str(case / f"images{split}"), n_samples=n,
+            image_size=(P, P, P), min_object_ratio=5, max_object_ratio=2,
+            gauss_sigma=2, blur=True, segmentation=True, n_raters=2,
+            seed=5 if split == "Tr" else 6)
+        random.seed(gen.seed)
+        np.random.seed(gen.seed)
+        generate_samples(gen)
+        seg = case / f"images{split}" / "segmentation"
+        (case / f"labels{split}").mkdir(exist_ok=True)
+        for f in seg.iterdir():
+            f.rename(case / f"labels{split}" / f.name)
+        seg.rmdir()
+    cfg = compose("configs", "softmax_config", [
+        f"data_input_dir={root}", f"save_dir={tmp_path}/exp",
+        "max_epochs=1", "batch_size=8", "datamodule.patch_size=16",
+        "datamodule.batch_size=8", "datamodule.data_num_folds=3",
+        "datamodule.num_raters=2", "model.initial_filter_size=2",
+        "version=0", "+devices=8", "+dcn_granules=2"])
+    ckpt = fit(cfg)
+    assert os.path.exists(ckpt)

@@ -129,9 +129,11 @@ def fit(cfg: Config, max_steps_override: Optional[int] = None,
     # -- device mesh (production data parallelism) ----------------------
     # `devices` (ours) or `gpus` (reference schema, configs/*.yaml:13)
     # selects the data-parallel width; "all"/-1 takes every visible chip.
-    from ..parallel.mesh import (batch_sharding, make_mesh,
+    from ..parallel.mesh import (batch_sharding, initialize_distributed,
+                                 make_hybrid_mesh, make_mesh,
                                  make_parallel_train_step, replicated,
                                  resolve_device_count)
+    initialize_distributed()  # no-op single-process
     n_devices = resolve_device_count(
         cfg.get("devices", cfg.get("gpus")), available=len(jax.devices()))
     if n_devices > len(jax.devices()):
@@ -141,12 +143,19 @@ def fit(cfg: Config, max_steps_override: Optional[int] = None,
         n_devices = len(jax.devices())
     mesh = None
     train_sharding = None
+    dcn = int(cfg.get("dcn_granules", 0) or 0)
     if n_devices > 1:
-        mesh = make_mesh(n_data=n_devices, n_sample=1,
-                         devices=jax.devices()[:n_devices])
+        if dcn > 1:
+            # multi-slice/multi-host: data axis granule-major over DCN
+            mesh = make_hybrid_mesh(n_sample=1, dcn_data=dcn)
+            n_devices = mesh.shape["data"]
+        else:
+            mesh = make_mesh(n_data=n_devices, n_sample=1,
+                             devices=jax.devices()[:n_devices])
         train_sharding = batch_sharding(mesh)
         parallel_step = make_parallel_train_step(experiment, mesh)
-        print(f"data-parallel over {mesh.shape} mesh")
+        print(f"data-parallel over {mesh.shape} mesh"
+              + (f" ({dcn} DCN granules)" if dcn > 1 else ""))
 
     rng = jax.random.PRNGKey(int(cfg.get("seed", 123)))
     rng, init_rng = jax.random.split(rng)
