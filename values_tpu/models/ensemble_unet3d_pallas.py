@@ -596,7 +596,12 @@ def make_grouped_ensemble_predictor_pallas(num_classes: int, members: int,
             gv, packed, members, w, do_dropout=do_dropout, rng=rng,
             interpret=interpret)
         nb, dd, hh, m, cc, lanes = logits.shape
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-2)
+        # softmax reduces in f32, but the unpack transposes move bf16:
+        # the C-minor unpacked layout lane-pads ~13x, so halving the
+        # element size halves a ~25 ms tail; the XLA grouped path's
+        # stack carries the same bf16 precision
+        probs = jax.nn.softmax(logits.astype(jnp.float32),
+                               axis=-2).astype(dtype)
         probs = probs.reshape(nb, dd, hh, m * cc, lanes)
         probs = unpack_ndhwc(probs, bp)[:b]     # (B, D, H, W, M*C)
         probs = probs.reshape(b, dd, hh, w, m, cc)
