@@ -447,3 +447,41 @@ def test_engine_pallas_tta_matches_xla(rng, small_model):
         backend="pallas").run_volume(vol)
     assert got[0].shape == ref[0].shape == (16, 2, P, P, P)
     np.testing.assert_allclose(got[0], ref[0], atol=2e-3)
+
+
+def test_engine_pallas_aleatoric_matches_xla(rng):
+    """backend='pallas' aleatoric == XLA grouped aleatoric (same key
+    tree -> same epsilon draws; trunk within bf16-ish tolerance)."""
+    model = UNet3D(num_classes=2, initial_filter_size=2,
+                   aleatoric_loss=True)
+    v0 = jax.jit(model.init)(jax.random.PRNGKey(0),
+                             jnp.zeros((1, P, P, P, 1)))
+    v1 = jax.tree_util.tree_map(lambda x: x + 0.02, v0)
+    vol = rng.rand(P, P, P).astype(np.float32)
+    kwargs = dict(mode="aleatoric", n_aleatoric_samples=3, patch_size=P,
+                  use_grouped_ensemble=True, seed=3)
+    ref = SlidingWindowEngine(model, [v0, v1], **kwargs).run_volume(vol)
+    got = SlidingWindowEngine(model, [v0, v1], backend="pallas",
+                              **kwargs).run_volume(vol)
+    assert got[0].shape == ref[0].shape == (6, 2, P, P, P)
+    np.testing.assert_allclose(got[0], ref[0], atol=2e-3)
+    # sigma = exp(s/2) spans decades under random init: relative compare
+    np.testing.assert_allclose(got[4], ref[4], rtol=1e-4)
+
+
+def test_engine_pallas_ssn_matches_xla(rng):
+    """backend='pallas' SSN == XLA grouped SSN (same trunk features ->
+    same distribution -> same sample stream)."""
+    from values_tpu.models.ssn_unet3d import SsnUNet3D
+
+    model = SsnUNet3D(num_classes=2, initial_filter_size=2, rank=2)
+    v0 = jax.jit(model.init)(jax.random.PRNGKey(0),
+                             jnp.zeros((1, P, P, P, 1)))
+    vol = rng.rand(P, P, P).astype(np.float32)
+    kwargs = dict(mode="ssn", n_pred=3, patch_size=P,
+                  use_grouped_ensemble=True, seed=9)
+    ref = SlidingWindowEngine(model, [v0], **kwargs).run_volume(vol)
+    got = SlidingWindowEngine(model, [v0], backend="pallas",
+                              **kwargs).run_volume(vol)
+    assert got[0].shape == ref[0].shape == (3, 2, P, P, P)
+    np.testing.assert_allclose(got[0], ref[0], atol=5e-3)

@@ -126,17 +126,40 @@ class SlidingWindowEngine:
                         model.initial_filter_size, dtype=dtype)
             elif mode == "aleatoric":
                 member_list = list(variables_list)
-                _, grouped = make_grouped_aleatoric_predictor(
-                    model.num_classes, self.n_models,
-                    model.initial_filter_size,
-                    n_aleatoric_samples=n_aleatoric_samples, dtype=dtype)
+                if self._select_backend(backend, mc_dropout=False):
+                    from ..models.ensemble_unet3d_pallas import (
+                        make_grouped_aleatoric_predictor_pallas)
+                    _, grouped = make_grouped_aleatoric_predictor_pallas(
+                        model.num_classes, self.n_models,
+                        model.initial_filter_size,
+                        n_aleatoric_samples=n_aleatoric_samples,
+                        dtype=dtype,
+                        interpret=jax.devices()[0].platform != "tpu")
+                else:
+                    _, grouped = make_grouped_aleatoric_predictor(
+                        model.num_classes, self.n_models,
+                        model.initial_filter_size,
+                        n_aleatoric_samples=n_aleatoric_samples,
+                        dtype=dtype)
             elif mode == "ssn":
                 member_list = list(variables_list)
-                _, grouped = make_grouped_ssn_predictor(
-                    model.num_classes, self.n_models,
-                    model.initial_filter_size, n_pred=n_pred,
-                    rank=getattr(model, "rank", 10),
-                    epsilon=getattr(model, "epsilon", 1e-5), dtype=dtype)
+                if self._select_backend(backend, mc_dropout=False):
+                    from ..models.ensemble_unet3d_pallas import (
+                        make_grouped_ssn_predictor_pallas)
+                    _, grouped = make_grouped_ssn_predictor_pallas(
+                        model.num_classes, self.n_models,
+                        model.initial_filter_size, n_pred=n_pred,
+                        rank=getattr(model, "rank", 10),
+                        epsilon=getattr(model, "epsilon", 1e-5),
+                        dtype=dtype,
+                        interpret=jax.devices()[0].platform != "tpu")
+                else:
+                    _, grouped = make_grouped_ssn_predictor(
+                        model.num_classes, self.n_models,
+                        model.initial_filter_size, n_pred=n_pred,
+                        rank=getattr(model, "rank", 10),
+                        epsilon=getattr(model, "epsilon", 1e-5),
+                        dtype=dtype)
             else:
                 mc_dropout = bool(getattr(model, "do_dropout", False))
                 member_list = (list(variables_list) * n_pred if mc_dropout

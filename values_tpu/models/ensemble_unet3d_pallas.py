@@ -371,6 +371,7 @@ def grouped_forward_packed(grouped_variables: Dict, x: jnp.ndarray,
                            members: int, w_item: int, *,
                            do_dropout: bool = False,
                            rng: Optional[jax.Array] = None,
+                           apply_final: bool = True,
                            interpret: bool = False) -> jnp.ndarray:
     """Forward the grouped ensemble in the packed layout.
 
@@ -385,7 +386,8 @@ def grouped_forward_packed(grouped_variables: Dict, x: jnp.ndarray,
         # stats-chained fused path: norms/activations ride conv
         # prologues/epilogues, pooling runs on raw conv outputs
         return _grouped_forward_fused(grouped_variables, x, members,
-                                      w_item, interpret=interpret)
+                                      w_item, apply_final=apply_final,
+                                      interpret=interpret)
     p = grouped_variables["params"]
     # 17 dropout sites: 8 contract blocks + bottleneck + 8 expand blocks
     rngs = iter(jax.random.split(rng, 17)) if do_dropout else None
@@ -457,7 +459,11 @@ def grouped_forward_packed(grouped_variables: Dict, x: jnp.ndarray,
     expand = block(block(e, "expand_1_1", norm=False),
                    "expand_1_2", norm=False)
 
-    out = _conv(expand, p["final"], members, state["w"], state["bp"],
+    if not apply_final:
+        nb, d, h, gc, lanes = expand.shape
+        return expand.reshape(nb, d, h, members, gc // members, lanes)
+    head = "final_aleatoric" if "final_aleatoric" in p else "final"
+    out = _conv(expand, p[head], members, state["w"], state["bp"],
                 interpret=interpret)
     nb, d, h, gc, lanes = out.shape
     return out.reshape(nb, d, h, members, gc // members, lanes)
@@ -465,6 +471,7 @@ def grouped_forward_packed(grouped_variables: Dict, x: jnp.ndarray,
 
 def _grouped_forward_fused(grouped_variables: Dict, x: jnp.ndarray,
                            members: int, w_item: int, *,
+                           apply_final: bool = True,
                            interpret: bool = False) -> jnp.ndarray:
     """The deterministic (no-dropout) grouped forward with every
     instance norm + activation fused into the consuming conv's prologue
@@ -565,7 +572,11 @@ def _grouped_forward_fused(grouped_variables: Dict, x: jnp.ndarray,
             e, up_bias = up(e, f"upscale{lvl}")
             up_slope = 1.0  # plain upscales pass through unactivated
 
-    out = conv(e, "final")
+    if not apply_final:
+        nb, d, h, gc, lanes = e.shape
+        return e.reshape(nb, d, h, members, gc // members, lanes)
+    out = conv(e, "final_aleatoric" if "final_aleatoric" in p
+               else "final")
     nb, d, h, gc, lanes = out.shape
     return out.reshape(nb, d, h, members, gc // members, lanes)
 
@@ -653,5 +664,131 @@ def make_grouped_tta_predictor_pallas(num_classes: int, members: int,
                     unflipped.append(jnp.flip(probs[base + 1 + fi],
                                               axis=axes))
         return jnp.stack(unflipped), None
+
+    return None, predict
+
+
+def _pack_forward(grouped_variables, x, members, dtype, interpret,
+                  apply_final=True):
+    """Shared pack -> forward -> (nb, d, h, m, cc, lanes) helper for the
+    predictor factories; pads the batch to a pack multiple."""
+    gv = jax.tree_util.tree_map(lambda a: a.astype(dtype),
+                                grouped_variables)
+    b, d, h, w, c = x.shape
+    assert LANES % w == 0, f"W={w} must divide {LANES}"
+    bp = LANES // w
+    pad_b = (-b) % bp
+    if pad_b:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad_b,) + x.shape[1:], x.dtype)], axis=0)
+    packed = pack_ndhwc(x.astype(dtype), bp)
+    out = grouped_forward_packed(gv, packed, members, w,
+                                 apply_final=apply_final,
+                                 interpret=interpret)
+    return out, b, bp, w
+
+
+def _unpack_stack(packed_mcc, b, bp, w):
+    """(nb, d, h, m, cc, lanes) -> (B, d, h, w, m, cc)."""
+    nb, d, h, m, cc, lanes = packed_mcc.shape
+    flat = packed_mcc.reshape(nb, d, h, m * cc, lanes)
+    out = unpack_ndhwc(flat, bp)[:b]
+    return out.reshape(b, d, h, w, m, cc)
+
+
+def make_grouped_aleatoric_predictor_pallas(num_classes: int, members: int,
+                                            initial_filter_size: int = 8,
+                                            n_aleatoric_samples: int = 10,
+                                            dtype=jnp.bfloat16,
+                                            interpret: bool = False):
+    """Aleatoric deep ensemble through the batch-packed pipeline: the
+    fused (mu, s) head runs as the packed final conv (2C channels per
+    member), then the logit sampling mirrors
+    ensemble_unet3d.make_grouped_aleatoric_predictor key-for-key (same
+    split tree -> bitwise-equal epsilon draws). Reference loop:
+    test_3D.py:458-469."""
+    del initial_filter_size
+
+    def predict(grouped_variables, x, rng):
+        out_p, b, bp, w = _pack_forward(grouped_variables, x, members,
+                                        dtype, interpret)
+        out = _unpack_stack(out_p, b, bp, w)      # (B, *sp, M, 2C)
+        out = out.astype(jnp.float32)
+        mu, s = jnp.split(out, 2, axis=-1)
+        mu = jnp.moveaxis(mu, -2, 0)              # (M, B, *sp, C)
+        sigma = jnp.exp(jnp.moveaxis(s, -2, 0) / 2.0)
+        keys = jax.random.split(rng, members)
+
+        def per_member(mu_m, sigma_m, key):
+            eps = jax.random.normal(
+                key, (n_aleatoric_samples,) + mu_m.shape,
+                dtype=mu_m.dtype)
+            logits = mu_m[None] + sigma_m[None] * eps
+            sigma_rep = jnp.broadcast_to(
+                sigma_m[None], (n_aleatoric_samples,) + sigma_m.shape)
+            return jax.nn.softmax(logits, axis=-1), sigma_rep
+
+        probs, sigmas = jax.vmap(per_member)(mu, sigma, keys)
+        s_total = members * n_aleatoric_samples
+        return (probs.reshape((s_total,) + probs.shape[2:]),
+                sigmas.reshape((s_total,) + sigmas.shape[2:]))
+
+    return None, predict
+
+
+def make_grouped_ssn_predictor_pallas(num_classes: int, members: int,
+                                      initial_filter_size: int = 8,
+                                      n_pred: int = 1, rank: int = 10,
+                                      epsilon: float = 1e-5,
+                                      dtype=jnp.bfloat16,
+                                      interpret: bool = False):
+    """SSN deep ensemble: packed trunk forward (apply_final=False), then
+    the per-member 1x1x1 heads + ONE batched LowRankMVN, mirroring
+    ensemble_unet3d.make_grouped_ssn_predictor (same head math, same
+    sampling batch order). Reference: test_3D.py:361-396."""
+    from .ssn_unet3d import LowRankMVN
+    del initial_filter_size
+
+    def predict(grouped_variables, x, rng):
+        feats_p, b, bp, w = _pack_forward(grouped_variables, x, members,
+                                          dtype, interpret,
+                                          apply_final=False)
+        fm = _unpack_stack(feats_p, b, bp, w).astype(jnp.float32)
+        # fm: (B, *sp, M, F)
+        spatial = fm.shape[1:-2]
+        f = fm.shape[-1]
+        p = grouped_variables["params"]
+
+        def head(name, cout):   # (M, B, *sp, cout)
+            k = p[name]["kernel"].reshape(f, members, cout).astype(
+                jnp.float32)
+            bias = p[name]["bias"].reshape(members, cout).astype(
+                jnp.float32)
+            out = jnp.einsum("b...mi,imo->b...mo", fm, k) + bias
+            return jnp.moveaxis(out, -2, 0)
+
+        def flatten_cf(t):      # (M, B, *sp, C) -> (M*B, C*V) torch order
+            t = jnp.moveaxis(t, -1, 2)
+            return t.reshape((members * b, -1))
+
+        mean = flatten_cf(head("mean_conv", num_classes))
+        cov_diag = jnp.exp(flatten_cf(
+            head("log_cov_diag_conv", num_classes))) + epsilon
+        raw = head("cov_factor_conv", num_classes * rank)
+        raw = jnp.moveaxis(raw, -1, 2)            # (M, B, C*R, *sp)
+        raw = raw.reshape(members * b, rank, num_classes, -1)
+        cov_factor = jnp.swapaxes(raw.reshape(members * b, rank, -1),
+                                  1, 2)
+        dist = LowRankMVN(mean=mean, cov_diag=cov_diag,
+                          cov_factor=cov_factor,
+                          event_shape=(num_classes,) + spatial)
+        samples = dist.sample(rng, (n_pred,))     # (S, M*B, C*V)
+        samples = samples.reshape((n_pred, members, b, num_classes)
+                                  + spatial)
+        samples = jnp.moveaxis(samples, 1, 0)     # (M, S, B, C, *sp)
+        logits = samples.reshape((members * n_pred, b, num_classes)
+                                 + spatial)
+        logits = jnp.moveaxis(logits, 2, -1)
+        return jax.nn.softmax(logits, axis=-1), None
 
     return None, predict
