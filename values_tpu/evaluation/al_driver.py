@@ -23,7 +23,6 @@ CLI:
 from __future__ import annotations
 
 import argparse
-import os
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence
 
@@ -95,7 +94,6 @@ def generate_and_run(eval_config, base_splits_path, config_name: str,
     """Full loop: query-split generation from an evaluated experiment,
     then second-cycle training on everything produced."""
     from .experiment_dataloader import ExperimentDataloader
-    from .experiment_version import ExperimentVersion
     from .split_file_generation.second_cycle import generate_split_file
     from .split_file_generation.second_cycle_random import (
         generate_split_file as generate_random_split_file)
