@@ -231,3 +231,34 @@ def test_banded_conv_split_input_and_prologue_and_stats(rng):
         np.testing.assert_allclose(
             ssq[nb_i, :, lanes], (pre[item] ** 2).sum((0, 1)).T,
             atol=5e-3, rtol=2e-3)
+
+
+def test_grouped_forward_non_cubic_matches_flax(rng):
+    """Anisotropic patches (D != H != W): the fused path's norm stats
+    must use the true per-level voxel counts (code-review r2 finding)."""
+    import jax
+    import jax.numpy as jnp
+    from values_tpu.models.ensemble_unet3d import (EnsembleUNet3D,
+                                                   group_member_variables)
+    from values_tpu.models.ensemble_unet3d_pallas import (
+        make_grouped_ensemble_predictor_pallas)
+    from values_tpu.models.unet3d import UNet3D
+
+    members, d, h, w = 2, 16, 32, 32
+    base = UNet3D(num_classes=2, initial_filter_size=2)
+    init = jax.jit(base.init)
+    keys = jax.random.split(jax.random.PRNGKey(0), members)
+    stacked = group_member_variables(
+        [init(k, jnp.zeros((1, d, h, w, 1))) for k in keys])
+    x = jnp.asarray(rng.rand(4, d, h, w, 1).astype(np.float32))
+
+    ref_model = EnsembleUNet3D(num_classes=2, members=members,
+                               initial_filter_size=2)
+    ref_logits = ref_model.apply(stacked, x)       # (B, d, h, w, M, C)
+    ref_probs = jnp.moveaxis(jax.nn.softmax(ref_logits, axis=-1), -2, 0)
+
+    _, pred = make_grouped_ensemble_predictor_pallas(
+        2, members, 2, dtype=jnp.float32, interpret=True)
+    got, _ = pred(stacked, x, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_probs),
+                               atol=2e-4, rtol=2e-4)

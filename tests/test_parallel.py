@@ -233,3 +233,23 @@ def test_hybrid_mesh_dcn_layout():
     first, second = set(ids[:2].ravel()), set(ids[2:].ravel())
     assert first.isdisjoint(second)
     assert first | second == set(range(8))
+
+
+def test_initialize_distributed_noop_and_ordering(monkeypatch):
+    """Without COORDINATOR_ADDRESS it is a no-op returning 1; with the
+    env set after the backend is already up it must raise the clear
+    relaunch message, NOT the raw jax.distributed error (code-review r2:
+    the old version always self-defeated by touching process_count
+    first)."""
+    import pytest
+    from values_tpu.parallel.mesh import initialize_distributed
+
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    assert initialize_distributed() == 1
+
+    # backend is initialized in this test process (jax ops ran already)
+    monkeypatch.setenv("COORDINATOR_ADDRESS", "127.0.0.1:9999")
+    monkeypatch.setenv("NUM_PROCESSES", "2")
+    monkeypatch.setenv("PROCESS_ID", "0")
+    with pytest.raises(RuntimeError, match="values_tpu.training.main"):
+        initialize_distributed()

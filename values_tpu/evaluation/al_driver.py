@@ -17,8 +17,9 @@ CLI:
         --splits <base_splits_dir> --config softmax_config_lidc \
         [--train-override key=value ...] [--dry-run]
       — trains on every ``secondCycle/**/splits_seed*.pkl`` under the
-      base splits dir (generate them first with the split_file_generation
-      CLIs, or pass --generate with an evaluation config).
+      base splits dir. Generate the splits first (the
+      split_file_generation modules, or call ``generate_and_run()`` from
+      Python to run query-generation + training in one go).
 """
 from __future__ import annotations
 
@@ -114,6 +115,8 @@ def generate_and_run(eval_config, base_splits_path, config_name: str,
 
 
 def main(argv=None) -> None:
+    from ..core.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
     parser = argparse.ArgumentParser(
         description="Second-cycle AL training driver")
     parser.add_argument("--splits", required=True,

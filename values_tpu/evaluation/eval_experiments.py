@@ -110,6 +110,8 @@ class EvalExperiments:
 
 
 def main(argv=None) -> None:
+    from ..core.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--config-dir", "-cd", default="configs/evaluation")
     parser.add_argument("--config-name", "-cn", default="eval_config_lidc")

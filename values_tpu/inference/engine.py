@@ -230,9 +230,9 @@ class SlidingWindowEngine:
         if backend == "pallas":
             if not eligible:
                 raise ValueError(
-                    "backend='pallas' needs 128 %% patch_size == 0, "
-                    "patch_size %% 16 == 0, no dropout and no mesh "
-                    f"(patch_size={self.patch_size})")
+                    "backend='pallas' needs a patch_size that divides "
+                    "128 and is a multiple of 16, no dropout and no "
+                    f"mesh (patch_size={self.patch_size})")
             return True  # non-TPU platforms run in interpret mode
         # auto: XLA's batch-minor conv layouts only win at large window
         # batches (measured crossover ~96 on v5e)
@@ -441,18 +441,17 @@ class SlidingWindowEngine:
                         [part, np.repeat(part[-1:], padded - n_valid,
                                          axis=0)], axis=0)
                 key = (vol_shape, padded, "window")
-                if key not in self._process_cache:
-                    self._process_cache[key] = (
-                        self._build_sharded_process_fn(vol_shape, padded))
-                out = self._process_cache[key](
+                out = self._cached(
+                    key, lambda: self._build_sharded_process_fn(
+                        vol_shape, padded))(
                     volume_dev, jnp.asarray(part), jnp.asarray(mask),
                     self.stacked_variables, self._next_rng())
             else:
                 key = (vol_shape, len(part))
-                if key not in self._process_cache:
-                    self._process_cache[key] = self._build_process_fn(
-                        vol_shape, len(part))
-                out = self._process_cache[key](
+                n_part = len(part)
+                out = self._cached(
+                    key, lambda: self._build_process_fn(
+                        vol_shape, n_part))(
                     volume_dev, jnp.asarray(part), self.stacked_variables,
                     self._next_rng())
             if stitched is None:

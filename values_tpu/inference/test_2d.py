@@ -273,6 +273,8 @@ def run_test(args) -> Tester2D:
 
 
 def main(argv=None) -> None:
+    from ..core.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
     run_test(test_cli(argv))
 
 

@@ -221,7 +221,7 @@ def _transpose_conv_k2s2(x, params, groups, bp, repack=True,
         y = jnp.transpose(y, (4, 7, 5, 1, 6, 2, 0, 3, 8))
         # (nb, p, d, a, h, e, m, o, l): out pack = 2*nb + p
         y = y.reshape(2 * nb, 2 * d, 2 * h, groups * co, lanes)
-    elif True:
+    else:
         y = jax.lax.dot_general(
             y, em, (((3, 8), (0, 1)), ((), ())),
             preferred_element_type=jnp.float32).astype(x.dtype)
@@ -532,13 +532,14 @@ def _grouped_forward_fused(grouped_variables: Dict, x: jnp.ndarray,
         return _norm_maps(stats, n_vox, bp_src, state["bp"], lanes_t,
                           slope=0.01)
 
-    d0 = x.shape[1]
-
     # ---- encoder: conv(+stats) -> conv(prologue norm, +stats) -> raw pool
     skips = []   # (raw activation, stats, n_vox, bp at that level)
     v = x
     for lvl in (1, 2, 3, 4):
-        n_vox = (d0 // 2 ** (lvl - 1)) ** 3
+        # per-item voxel count from the ACTUAL level shape (non-cubic
+        # D/H/W are first-class; a cubic assumption silently skews the
+        # norm statistics 2-4x on anisotropic patches)
+        n_vox = v.shape[1] * v.shape[2] * state["w"]
         if lvl == 1:
             y1, st = conv(v, "contr_1_1", emit_stats=True)
         else:

@@ -129,8 +129,8 @@ def banded_bias(bias: jnp.ndarray, groups: int, qd: int, qh: int,
 # Tiling selection
 # ---------------------------------------------------------------------------
 
-def choose_tiling(cout: int, d: int, h: int,
-                  cin: int = 8) -> Tuple[int, int, int]:
+def choose_tiling(cout: int, d: int, h: int, cin: int = 8,
+                  itemsize: int = 2) -> Tuple[int, int, int]:
     """Pick (qd, qh, sd): output block qd x qh with N = qd*qh*cout <= 128
     (square-ish to minimize band waste (qd+2)(qh+2)/(qd*qh)), and the D
     superblock sd keeping the per-cell VMEM budget (haloed x tile +
@@ -157,10 +157,12 @@ def choose_tiling(cout: int, d: int, h: int,
     n = qd * qh * cout
 
     def vmem_bytes(sd_):
-        # 2 double-buffered raw tiles + 2 kw-roll variants
-        x_tiles = 4 * (sd_ + 2) * (h + 2) * cin * LANES * 2
-        out_blocks = 2 * sd_ * h * cout * LANES * 2
-        weights = 2 * n * k * 2
+        # 2 double-buffered raw tiles + 2 kw-roll variants, at the REAL
+        # element size (an f32 run under the bf16 assumption OOMs the
+        # 16M scoped-vmem limit)
+        x_tiles = 4 * (sd_ + 2) * (h + 2) * cin * LANES * itemsize
+        out_blocks = 2 * sd_ * h * cout * LANES * itemsize
+        weights = 2 * n * k * itemsize
         return x_tiles + out_blocks + weights
 
     sd = d
@@ -473,7 +475,8 @@ def conv3d_banded_packed(x: jnp.ndarray, kernel: jnp.ndarray,
                 return mm.reshape(nb, groups * cin8, lanes)
             prologue = (padmap(sc, 1.0), padmap(sh, 0.0), padmap(sl, 1.0))
         cin1 = cin = cin8
-    qd, qh, sd = tiling or choose_tiling(cout, d, h, cin)
+    qd, qh, sd = tiling or choose_tiling(cout, d, h, cin,
+                                         x.dtype.itemsize)
     assert d % qd == 0 and h % qh == 0 and d % sd == 0 and sd % qd == 0
 
     if bias is None:

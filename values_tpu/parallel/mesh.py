@@ -132,18 +132,32 @@ def make_parallel_sample_predict(model, n_models: int, mesh: Mesh,
 
 def initialize_distributed() -> int:
     """Initialize JAX's multi-process runtime when launched as one process
-    per host (GKE/TPU-VM pods). Controlled by standard env vars
-    (``COORDINATOR_ADDRESS``, ``NUM_PROCESSES``, ``PROCESS_ID``) or the
-    TPU metadata autodetection built into ``jax.distributed``; a no-op for
-    single-process runs. Returns ``jax.process_count()``."""
+    per host (GKE/TPU-VM pods), driven by standard env vars
+    (``COORDINATOR_ADDRESS``, ``NUM_PROCESSES``, ``PROCESS_ID``).
+
+    MUST run before anything initializes the XLA backend (device queries,
+    array creation, PRNGKey) — ``values_tpu.training.main`` calls it
+    first thing, and ``fit()`` calls it before its first JAX touch. A
+    no-op when the env vars are absent or the runtime is already
+    distributed; raises a clear error if the backend was initialized
+    first (relaunch through the training CLI in that case)."""
     import os
-    if jax.process_count() > 1:
+    if not os.environ.get("COORDINATOR_ADDRESS"):
+        return 1
+    from jax._src import distributed as _distributed
+    if getattr(_distributed.global_state, "client", None) is not None:
         return jax.process_count()  # already initialized
-    if os.environ.get("COORDINATOR_ADDRESS"):
+    try:
         jax.distributed.initialize(
             coordinator_address=os.environ["COORDINATOR_ADDRESS"],
             num_processes=int(os.environ["NUM_PROCESSES"]),
             process_id=int(os.environ["PROCESS_ID"]))
+    except RuntimeError as exc:
+        raise RuntimeError(
+            "jax.distributed.initialize failed — the XLA backend was "
+            "probably touched before initialize_distributed(); launch "
+            "multi-host training via `python -m values_tpu.training.main` "
+            "which initializes first") from exc
     return jax.process_count()
 
 

@@ -154,21 +154,28 @@ def save_checkpoint_orbax(path: str, variables: Any, hyper_parameters: Dict,
     payload as the pickle format. For multi-GB states orbax writes
     zarr-sharded arrays (parallel IO, partial restore) — the production
     choice the pickle format cannot scale to."""
+    import shutil
     import orbax.checkpoint as ocp
     path = Path(path).absolute()
-    if path.exists():
-        import shutil
-        shutil.rmtree(path)
+    # write-to-temp + rename: the multi-second zarr write must never
+    # leave a window with NO valid checkpoint on disk (preemption during
+    # the every-epoch last.ckpt overwrite would otherwise lose the run)
+    tmp = path.parent / (path.name + ".writing")
+    if tmp.exists():
+        shutil.rmtree(tmp)
     payload = {"state_dict": _to_numpy_tree(variables)}
     if opt_state is not None:
         payload["opt_state"] = _to_numpy_tree(opt_state)
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, payload)
+        ckptr.save(tmp, payload)
     meta = {"format": FORMAT_KEY, "hyper_parameters": hyper_parameters,
             "epoch": epoch, "global_step": global_step,
             "has_opt_state": opt_state is not None}
-    with open(path / "values_tpu_meta.pkl", "wb") as f:
+    with open(tmp / "values_tpu_meta.pkl", "wb") as f:
         pickle.dump(meta, f)
+    if path.exists():
+        shutil.rmtree(path)
+    tmp.rename(path)
 
 
 def load_checkpoint_orbax(path: str) -> Dict:

@@ -87,6 +87,10 @@ def fit(cfg: Config, max_steps_override: Optional[int] = None,
     state, epoch and global step are restored (the reference relies on
     PL's resume; here the checkpoint is fully self-describing).
     """
+    # multi-host init must precede ANY XLA-backend touch (set_seed
+    # creates PRNG arrays); no-op without COORDINATOR_ADDRESS
+    from ..parallel.mesh import initialize_distributed
+    initialize_distributed()
     set_seed(int(cfg.get("seed", 123)))
 
     if "DATASET_LOCATION" in os.environ:
@@ -129,11 +133,9 @@ def fit(cfg: Config, max_steps_override: Optional[int] = None,
     # -- device mesh (production data parallelism) ----------------------
     # `devices` (ours) or `gpus` (reference schema, configs/*.yaml:13)
     # selects the data-parallel width; "all"/-1 takes every visible chip.
-    from ..parallel.mesh import (batch_sharding, initialize_distributed,
-                                 make_hybrid_mesh, make_mesh,
-                                 make_parallel_train_step, replicated,
-                                 resolve_device_count)
-    initialize_distributed()  # no-op single-process
+    from ..parallel.mesh import (batch_sharding, make_hybrid_mesh,
+                                 make_mesh, make_parallel_train_step,
+                                 replicated, resolve_device_count)
     n_devices = resolve_device_count(
         cfg.get("devices", cfg.get("gpus")), available=len(jax.devices()))
     if n_devices > len(jax.devices()):
@@ -146,7 +148,15 @@ def fit(cfg: Config, max_steps_override: Optional[int] = None,
     dcn = int(cfg.get("dcn_granules", 0) or 0)
     if n_devices > 1:
         if dcn > 1:
-            # multi-slice/multi-host: data axis granule-major over DCN
+            # multi-slice/multi-host: data axis granule-major over DCN,
+            # always spanning EVERY visible device — a devices/gpus
+            # restriction cannot be honored here, so reject it loudly
+            if n_devices != len(jax.devices()):
+                raise ValueError(
+                    f"dcn_granules={dcn} spans all "
+                    f"{len(jax.devices())} devices; it cannot be "
+                    f"combined with devices={n_devices} — drop the "
+                    "devices restriction or the dcn_granules key")
             mesh = make_hybrid_mesh(n_sample=1, dcn_data=dcn)
             n_devices = mesh.shape["data"]
         else:

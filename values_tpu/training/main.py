@@ -24,6 +24,8 @@ DEFAULT_CONFIG_DIR = str(Path(__file__).resolve().parents[2] / "configs")
 def main(argv=None) -> None:
     from ..core.platform import honor_jax_platforms_env
     honor_jax_platforms_env()
+    # multi-host runtime first — before anything touches the XLA backend
+    initialize_distributed()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--config-name", "-cn", default="softmax_config")
     parser.add_argument("--config-dir", "-cd", default=DEFAULT_CONFIG_DIR)
