@@ -271,8 +271,17 @@ def _conv(x, params, groups, w_item, bp, *, activation="none",
         out = out.reshape(nb, d, h, -1, lanes)
         return _apply_act(out + bias.reshape(-1, 1), activation)
     # the Mosaic out-block needs an 8-aligned per-group Cout (production
-    # filter sizes are >= 8; tiny test models take the XLA fallback)
-    if lanes == LANES and (kernel.shape[4] // groups) % 8 == 0:
+    # filter sizes are >= 8; tiny test models take the XLA fallback), and
+    # a tiling that fits scoped VMEM must exist (f32 at wide channels +
+    # full resolution does not — choose_tiling returns None there)
+    from ..ops.pallas.conv3d import choose_tiling as _choose_tiling
+    _cin_tot = (kernel.shape[3] if kernel.shape[3] % 8 == 0
+                else -(-kernel.shape[3] // 8) * 8)
+    kernel_fits = (kernel.shape[0] == 3 and _choose_tiling(
+        kernel.shape[4] // groups, d, h, max(_cin_tot, 8),
+        x.dtype.itemsize) is not None)
+    if lanes == LANES and (kernel.shape[4] // groups) % 8 == 0 \
+            and kernel_fits:
         if kernel.shape[3] == 1:
             # Mosaic slices the channel (sublane) dim in 8-aligned blocks;
             # replicate the single input channel 8x with kernel/8 (exact

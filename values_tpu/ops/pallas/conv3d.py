@@ -130,47 +130,60 @@ def banded_bias(bias: jnp.ndarray, groups: int, qd: int, qh: int,
 # ---------------------------------------------------------------------------
 
 def choose_tiling(cout: int, d: int, h: int, cin: int = 8,
-                  itemsize: int = 2) -> Tuple[int, int, int]:
-    """Pick (qd, qh, sd): output block qd x qh with N = qd*qh*cout <= 128
-    (square-ish to minimize band waste (qd+2)(qh+2)/(qd*qh)), and the D
-    superblock sd keeping the per-cell VMEM budget (haloed x tile +
-    double-buffered output block + banded weights) under ~10MB of the
-    16MB core VMEM."""
+                  itemsize: int = 2) -> Tuple[int, int, int, int]:
+    """Pick (qd, qh, sd, nq): output block qd x qh with N = qd*qh*cout
+    <= 128 (square-ish minimizes band waste (qd+2)(qh+2)/(qd*qh)), the D
+    superblock sd, and the lane-batch nq — such that the cell's SCOPED
+    VMEM (double-buffered haloed x tiles + kw-roll variants + output
+    block + banded weights + the in-kernel A-matrix temporary) fits the
+    16M scoped-vmem limit with margin. The A temporary dominates at
+    large nq/f32 — the r2 demo OOM came from budgeting activations only.
+    """
+    budget = 13 * 2 ** 20
     target = max(1, LANES // cout)
-    best = (1, 1)
 
-    def waste(q):
-        return (q[0] + 2) * (q[1] + 2) / (q[0] * q[1])
+    def waste(qd, qh):
+        return (qd + 2) * (qh + 2) / (qd * qh)
 
+    candidates = []
     for qd in (1, 2, 4, 8, 16):
         if d % qd:
             continue
         for qh in (1, 2, 4, 8, 16):
             if h % qh or qd * qh > target:
                 continue
-            if (qd * qh > best[0] * best[1]
-                    or (qd * qh == best[0] * best[1]
-                        and waste((qd, qh)) < waste(best))):
-                best = (qd, qh)
-    qd, qh = best
-    k = 3 * (qd + 2) * (qh + 2) * cin
-    n = qd * qh * cout
+            candidates.append((qd, qh))
+    # biggest N first, then least band waste
+    candidates.sort(key=lambda q: (-q[0] * q[1], waste(*q)))
 
-    def vmem_bytes(sd_):
-        # 2 double-buffered raw tiles + 2 kw-roll variants, at the REAL
-        # element size (an f32 run under the bf16 assumption OOMs the
-        # 16M scoped-vmem limit)
-        x_tiles = 4 * (sd_ + 2) * (h + 2) * cin * LANES * itemsize
-        out_blocks = 2 * sd_ * h * cout * LANES * itemsize
-        weights = 2 * n * k * itemsize
-        return x_tiles + out_blocks + weights
+    def plan(qd, qh):
+        k = 3 * (qd + 2) * (qh + 2) * cin
+        n = qd * qh * cout
+        n_hblk = h // qh
 
-    sd = d
-    while sd > qd and (d % sd or vmem_bytes(sd) > 10 * 2 ** 20):
-        sd -= qd
-    if d % sd:
-        sd = qd
-    return qd, qh, sd
+        def fixed_bytes(sd_):
+            x_tiles = 4 * (sd_ + 2) * (h + 2) * cin * LANES * itemsize
+            out_blocks = 2 * sd_ * h * cout * LANES * itemsize
+            weights = 2 * n * k * itemsize
+            return x_tiles + out_blocks + weights
+
+        sd = d
+        while sd > qd and (d % sd or fixed_bytes(sd) > budget // 2):
+            sd -= qd
+        if d % sd:
+            sd = qd
+        nq = 1
+        for q in (16, 8, 4, 2, 1):
+            if n_hblk % q == 0 and                     k * q * LANES * itemsize <= budget - fixed_bytes(sd):
+                nq = q
+                break
+        return sd, nq, fixed_bytes(sd) + k * nq * LANES * itemsize
+
+    for qd, qh in candidates:
+        sd, nq, total = plan(qd, qh)
+        if total <= budget:
+            return qd, qh, sd, nq
+    return None  # no tiling fits scoped VMEM (callers fall back to XLA)
 
 
 # ---------------------------------------------------------------------------
@@ -178,7 +191,7 @@ def choose_tiling(cout: int, d: int, h: int, cin: int = 8,
 # ---------------------------------------------------------------------------
 
 def _conv_kernel(*refs, cin_parts, cout, qd: int, qh: int, sd: int,
-                 h: int, d_total: int, w_item: int, out_dtype,
+                 nq: int, h: int, d_total: int, w_item: int, out_dtype,
                  activation: str, has_prologue: bool, emit_stats: bool):
     """Banded-GEMM grouped conv cell with fused prologue/epilogue.
 
@@ -335,11 +348,11 @@ def _conv_kernel(*refs, cin_parts, cout, qd: int, qh: int, sd: int,
     x3_vmem[1] = jnp.where(lane_w != w_item - 1, lane_roll(raw, LANES - 1),
                            zero).reshape(x3_vmem.shape[1:])
 
-    # lane-batch nq output blocks per dot: a lone (128, K)@(K, 128) GEMM
-    # engages only part of the chip's MXUs (measured 38% of peak); N=512
+    # lane-batch nq output blocks per dot (chosen by choose_tiling
+    # against the scoped-VMEM budget): a lone (128, K)@(K, 128) GEMM
+    # engages only part of the chip's MXUs (measured 38% of peak); M=512+
     # reaches 84%. The A matrices of nq consecutive h-blocks concatenate
     # along lanes.
-    nq = next((q for q in (16, 8, 4, 2, 1) if n_hblk % q == 0))
 
     def body(i, carry):
         acc_s, acc_q = carry
@@ -475,8 +488,18 @@ def conv3d_banded_packed(x: jnp.ndarray, kernel: jnp.ndarray,
                 return mm.reshape(nb, groups * cin8, lanes)
             prologue = (padmap(sc, 1.0), padmap(sh, 0.0), padmap(sl, 1.0))
         cin1 = cin = cin8
-    qd, qh, sd = tiling or choose_tiling(cout, d, h, cin,
-                                         x.dtype.itemsize)
+    if tiling is not None:
+        qd, qh, sd = tiling[:3]
+        nq = (tiling[3] if len(tiling) > 3 else
+              next(q for q in (4, 2, 1) if (h // qh) % q == 0))
+    else:
+        chosen = choose_tiling(cout, d, h, cin, x.dtype.itemsize)
+        if chosen is None:
+            raise ValueError(
+                f"no VMEM-fitting banded tiling for cin={cin} "
+                f"cout={cout} d={d} h={h} itemsize="
+                f"{x.dtype.itemsize}; use the XLA conv path")
+        qd, qh, sd, nq = chosen
     assert d % qd == 0 and h % qh == 0 and d % sd == 0 and sd % qd == 0
 
     if bias is None:
@@ -524,7 +547,7 @@ def conv3d_banded_packed(x: jnp.ndarray, kernel: jnp.ndarray,
     grid = (nb, groups, d // sd)
     kernel_fn = functools.partial(
         _conv_kernel, cin_parts=cin_parts, cout=cout, qd=qd, qh=qh, sd=sd,
-        h=h, d_total=d, w_item=w_item, out_dtype=x.dtype,
+        nq=nq, h=h, d_total=d, w_item=w_item, out_dtype=x.dtype,
         activation=activation, has_prologue=has_prologue,
         emit_stats=emit_stats)
 
