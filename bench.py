@@ -144,7 +144,9 @@ def measure_small_batch_forward(backend: str, batch: int = 16) -> float:
             2, N_MEMBERS, 8, dtype=jnp.bfloat16)
     x = jax.random.uniform(jax.random.PRNGKey(1),
                            (batch, PATCH, PATCH, PATCH, 1), jnp.float32)
-    repeats = 8
+    # small batches finish in ~30 ms; chain enough steps that the relay
+    # tunnel's per-dispatch RTT (hundreds of ms) amortizes below 10%
+    repeats = 64
 
     @jax.jit
     def chained(stacked, x, rng):
