@@ -1,0 +1,107 @@
+"""Real multi-process (2-host emulation) smoke test over localhost.
+
+Spawns two OS processes, each with 4 virtual CPU devices (8 global),
+connected through ``jax.distributed`` — the closest thing to a 2-slice
+pod this container can exercise. Each process:
+
+1. calls ``initialize_distributed()`` BEFORE any backend touch (the
+   ordering contract fixed in r2),
+2. builds the granule-major hybrid mesh (dcn_data=2),
+3. assembles the identical global batch and stages it with
+   ``_device_batch`` (make_array_from_callback across non-addressable
+   devices),
+4. runs one sharded train step and checks the replicated loss agrees.
+"""
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+from pathlib import Path
+
+import pytest
+
+WORKER = textwrap.dedent("""
+    import os, sys
+    sys.path.insert(0, os.environ["REPO"])
+    from values_tpu.parallel.mesh import initialize_distributed
+    n = initialize_distributed()
+    assert n == 2, n
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+    assert len(jax.devices()) == 8, jax.devices()
+    assert jax.process_count() == 2
+
+    from values_tpu.config import make_config
+    from values_tpu.parallel.mesh import (batch_sharding, make_hybrid_mesh,
+                                          make_parallel_train_step)
+    from values_tpu.training.experiment import Experiment
+    from values_tpu.training.loops import _device_batch
+
+    mesh = make_hybrid_mesh(n_sample=1, dcn_data=2)
+    assert mesh.shape == {"data": 8, "sample": 1}
+
+    cfg = make_config({
+        "model": {"_target_": "values_tpu.models.unet3d.UNet3D",
+                  "num_classes": 2, "initial_filter_size": 2},
+        "datamodule": {"ignore_index": 0},
+        "learning_rate": 1e-3, "seed": 1,
+    })
+    exp = Experiment(cfg)
+    state = exp.init_state(jax.random.PRNGKey(0), 16, 1)
+    state = jax.device_put(state, jax.NamedSharding(
+        mesh, jax.sharding.PartitionSpec()))
+    step = make_parallel_train_step(exp, mesh)
+
+    rs = np.random.RandomState(0)  # identical batch on both hosts
+    batch = {"data": rs.rand(8, 16, 16, 16, 1).astype(np.float32),
+             "seg": (rs.rand(8, 16, 16, 16) > 0.5).astype(np.int32)}
+    dev_batch = _device_batch(batch, batch_sharding(mesh))
+    state, loss = step(state, dev_batch, jax.random.PRNGKey(2), False)
+    print("LOSS", float(loss), flush=True)
+""")
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_hybrid_mesh_train_step(tmp_path):
+    port = _free_port()
+    worker_py = tmp_path / "worker.py"
+    worker_py.write_text(WORKER)
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        # strip the axon sitecustomize (PYTHONPATH): it eagerly
+        # initializes the TPU backend at interpreter start, which
+        # forecloses jax.distributed.initialize in the workers
+        env["PYTHONPATH"] = os.pathsep.join(
+            p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+            if p and "axon_site" not in p)
+        env.update({
+            "REPO": str(Path(__file__).resolve().parents[1]),
+            "COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+            "NUM_PROCESSES": "2",
+            "PROCESS_ID": str(pid),
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker_py)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=420)
+        outs.append(out)
+    for out, p in zip(outs, procs):
+        assert p.returncode == 0, out[-2000:]
+    losses = [[l for l in out.splitlines() if l.startswith("LOSS")][-1]
+              for out in outs]
+    assert losses[0] == losses[1], losses  # replicated loss agrees

@@ -25,8 +25,21 @@ from .tb_logging import TensorBoardLogger
 
 
 def _device_batch(batch: Dict, sharding=None) -> Dict:
-    put = ((lambda x: jax.device_put(jnp.asarray(x), sharding))
-           if sharding is not None else jnp.asarray)
+    """Stage a host batch on device, sharded when a mesh is active.
+
+    Multi-host: every process assembles the IDENTICAL global batch (the
+    loaders' per-sample RNG streams are deterministic), and
+    ``make_array_from_callback`` lets each host contribute only its
+    addressable shards — ``device_put`` alone cannot build an array that
+    spans non-addressable devices. Single-process meshes take the same
+    path (the callback just slices locally)."""
+    if sharding is not None:
+        def put(x):
+            x = np.asarray(x)
+            return jax.make_array_from_callback(
+                x.shape, sharding, lambda idx: x[idx])
+    else:
+        put = jnp.asarray
     out = {"data": put(batch["data"])}
     if "seg" in batch:
         out["seg"] = put(batch["seg"])
