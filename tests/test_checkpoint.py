@@ -198,3 +198,22 @@ def test_retention_orbax_format(tmp_path):
     assert "epoch=1-val_loss=0.2000.ckpt" in names
     assert not any("0.5000" in n or "0.9000" in n for n in names)
     assert load_checkpoint(str(tmp_path / "last.ckpt"))["epoch"] == 2
+
+
+def test_orbax_async_retention(tmp_path):
+    """fmt='orbax-async': writes complete on a background thread; after
+    wait_for_async_checkpoints the payload round-trips like sync."""
+    from values_tpu.training.checkpoint import (CheckpointRetention,
+                                                load_checkpoint,
+                                                wait_for_async_checkpoints)
+
+    ret = CheckpointRetention(str(tmp_path), fmt="orbax-async")
+    for epoch in range(3):
+        ret.save({"params": {"w": np.full((4,), float(epoch))}},
+                 {"c": 1}, epoch=epoch, global_step=epoch * 5,
+                 monitored=None)
+    wait_for_async_checkpoints()
+    payload = load_checkpoint(str(tmp_path / "last.ckpt"))
+    assert payload["epoch"] == 2
+    np.testing.assert_array_equal(payload["state_dict"]["params"]["w"],
+                                  2.0)

@@ -97,9 +97,12 @@ class CheckpointRetention:
 
     def __init__(self, ckpt_dir: str, save_top_k: int = 0,
                  every_n_epochs: int = 0, monitor: str = "val_loss",
-                 fmt: str = "pickle"):
-        if fmt not in ("pickle", "orbax"):
+                 fmt: str = "pickle", async_save: bool = False):
+        if fmt not in ("pickle", "orbax", "orbax-async"):
             raise ValueError(f"unknown checkpoint format {fmt!r}")
+        if fmt == "orbax-async":
+            fmt, async_save = "orbax", True
+        self.async_save = bool(async_save) and fmt == "orbax"
         self.ckpt_dir = Path(ckpt_dir)
         self.save_top_k = int(save_top_k)
         self.every_n_epochs = int(every_n_epochs)
@@ -112,10 +115,15 @@ class CheckpointRetention:
              monitored: float = None) -> str:
         def write(name: str) -> str:
             path = str(self.ckpt_dir / name)
-            saver = (save_checkpoint_orbax if self.fmt == "orbax"
-                     else save_checkpoint)
-            saver(path, variables, hyper_parameters, epoch=epoch,
-                  global_step=global_step, opt_state=opt_state)
+            if self.fmt == "orbax":
+                save_checkpoint_orbax(
+                    path, variables, hyper_parameters, epoch=epoch,
+                    global_step=global_step, opt_state=opt_state,
+                    async_save=self.async_save)
+            else:
+                save_checkpoint(path, variables, hyper_parameters,
+                                epoch=epoch, global_step=global_step,
+                                opt_state=opt_state)
             return path
 
         last = write("last.ckpt")
@@ -147,13 +155,42 @@ class CheckpointRetention:
 
 # -- orbax backend (large states, async-capable, zarr-sharded) --------------
 
+_ASYNC_CHECKPOINTER = None
+
+
+def _async_checkpointer():
+    global _ASYNC_CHECKPOINTER
+    if _ASYNC_CHECKPOINTER is None:
+        import orbax.checkpoint as ocp
+        _ASYNC_CHECKPOINTER = ocp.AsyncCheckpointer(
+            ocp.PyTreeCheckpointHandler())
+    return _ASYNC_CHECKPOINTER
+
+
+def wait_for_async_checkpoints() -> None:
+    """Block until in-flight async orbax writes are durable AND committed
+    (meta + rename); called at fit() teardown and before read-back."""
+    if _ASYNC_CHECKPOINTER is not None:
+        _ASYNC_CHECKPOINTER.wait_until_finished()
+    while _ASYNC_COMMIT_THREADS:
+        _ASYNC_COMMIT_THREADS.pop().join()
+
+
 def save_checkpoint_orbax(path: str, variables: Any, hyper_parameters: Dict,
                           epoch: int = 0, global_step: int = 0,
-                          opt_state: Any = None) -> None:
+                          opt_state: Any = None,
+                          async_save: bool = False) -> None:
     """Directory-based orbax checkpoint with the same self-describing
     payload as the pickle format. For multi-GB states orbax writes
     zarr-sharded arrays (parallel IO, partial restore) — the production
-    choice the pickle format cannot scale to."""
+    choice the pickle format cannot scale to.
+
+    ``async_save``: hand the (host-copied) state to orbax's background
+    thread so the training loop continues while zarr shards hit disk;
+    the temp-dir + rename commit happens after the write completes, so
+    the durable-checkpoint invariant of the sync path is preserved.
+    Call :func:`wait_for_async_checkpoints` before reading back.
+    """
     import shutil
     import orbax.checkpoint as ocp
     path = Path(path).absolute()
@@ -161,21 +198,45 @@ def save_checkpoint_orbax(path: str, variables: Any, hyper_parameters: Dict,
     # leave a window with NO valid checkpoint on disk (preemption during
     # the every-epoch last.ckpt overwrite would otherwise lose the run)
     tmp = path.parent / (path.name + ".writing")
+    if async_save:
+        wait_for_async_checkpoints()  # one in-flight write at a time
     if tmp.exists():
         shutil.rmtree(tmp)
     payload = {"state_dict": _to_numpy_tree(variables)}
     if opt_state is not None:
         payload["opt_state"] = _to_numpy_tree(opt_state)
-    with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(tmp, payload)
     meta = {"format": FORMAT_KEY, "hyper_parameters": hyper_parameters,
             "epoch": epoch, "global_step": global_step,
             "has_opt_state": opt_state is not None}
-    with open(tmp / "values_tpu_meta.pkl", "wb") as f:
-        pickle.dump(meta, f)
-    if path.exists():
-        shutil.rmtree(path)
-    tmp.rename(path)
+
+    def commit():
+        with open(tmp / "values_tpu_meta.pkl", "wb") as f:
+            pickle.dump(meta, f)
+        if path.exists():
+            shutil.rmtree(path)
+        tmp.rename(path)
+
+    if async_save:
+        ckptr = _async_checkpointer()
+        ckptr.save(tmp, payload, force=True)
+        # orbax finalizes the write on its background thread; commit
+        # (meta + rename) rides a follow-up thread gated on completion
+        import threading
+
+        def waiter():
+            ckptr.wait_until_finished()
+            commit()
+        t = threading.Thread(target=waiter, daemon=False)
+        t.start()
+        global _ASYNC_COMMIT_THREADS
+        _ASYNC_COMMIT_THREADS.append(t)
+        return
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(tmp, payload)
+    commit()
+
+
+_ASYNC_COMMIT_THREADS: list = []
 
 
 def load_checkpoint_orbax(path: str) -> Dict:

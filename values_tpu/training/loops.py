@@ -320,4 +320,6 @@ def fit(cfg: Config, max_steps_override: Optional[int] = None,
             break
 
     logger.finalize()
+    from .checkpoint import wait_for_async_checkpoints
+    wait_for_async_checkpoints()
     return os.path.join(ckpt_dir, "last.ckpt")
