@@ -65,3 +65,42 @@ def test_run_second_cycle_composes_training_runs(tmp_path):
 
     dry = run_second_cycle(tmp_path, "softmax_config_lidc", dry_run=True)
     assert set(dry.values()) == {"(dry-run)"}
+
+
+def test_generate_and_run_full_loop(tmp_path, monkeypatch):
+    """generate_and_run drives query-split generation (uncertainty +
+    random baselines) then trains on everything produced."""
+    import values_tpu.evaluation.al_driver as drv
+    from values_tpu.evaluation.split_file_generation import (second_cycle,
+                                                             second_cycle_random)
+
+    calls = {"unc": 0, "rand": 0, "fits": []}
+
+    def fake_unc(exp_dl, base):
+        calls["unc"] += 1
+        _fake_second_cycle_tree(Path(base))  # pretend files were written
+
+    def fake_rand(exp_dl, base, random_types):
+        calls["rand"] += 1
+        assert random_types == ["random", "best", "worst"]
+
+    monkeypatch.setattr(second_cycle, "generate_split_file", fake_unc)
+    monkeypatch.setattr(second_cycle_random, "generate_split_file",
+                        fake_rand)
+
+    from values_tpu.evaluation.experiment_dataloader import (
+        ExperimentDataloader)
+
+    class FakeDL(ExperimentDataloader):  # bypass the heavy __init__
+        def __init__(self):
+            pass
+
+    def fake_fit(cfg):
+        calls["fits"].append(cfg["version"])
+        return "ck"
+
+    results = drv.generate_and_run(
+        FakeDL(), tmp_path, "softmax_config_lidc",
+        overrides=["data_input_dir=/tmp/x"], fit_fn=fake_fit)
+    assert calls["unc"] == 1 and calls["rand"] == 1
+    assert len(results) == 3 and len(calls["fits"]) == 3
