@@ -105,3 +105,88 @@ def test_two_process_hybrid_mesh_train_step(tmp_path):
     losses = [[l for l in out.splitlines() if l.startswith("LOSS")][-1]
               for out in outs]
     assert losses[0] == losses[1], losses  # replicated loss agrees
+
+
+FIT_WORKER = textwrap.dedent("""
+    import os, sys
+    sys.path.insert(0, os.environ["REPO"])
+    from values_tpu.parallel.mesh import initialize_distributed
+    assert initialize_distributed() == 2
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from values_tpu.config import compose
+    from values_tpu.training.loops import fit
+
+    cfg = compose(os.path.join(os.environ["REPO"], "configs"),
+                  "softmax_config", [
+        "data_input_dir=" + os.environ["DATA"],
+        "save_dir=" + os.environ["EXP"],
+        "max_epochs=1", "batch_size=8", "datamodule.patch_size=16",
+        "datamodule.batch_size=8", "datamodule.data_num_folds=3",
+        "datamodule.num_raters=2", "model.initial_filter_size=2",
+        "version=mh", "+devices=8", "+dcn_granules=2"])
+    ckpt = fit(cfg)
+    print("CKPT", ckpt, flush=True)
+""")
+
+
+@pytest.mark.slow
+def test_two_process_full_fit(tmp_path):
+    """A REAL 2-process fit(): covers the multi-host paths one train
+    step cannot — replicated val staging, process-0-only checkpoint and
+    TensorBoard writers, the prepare_data barrier, async orbax. (The
+    r2 code review found the val loop and checkpoint writers were
+    multi-host-broken; this is the regression net.)"""
+    import random
+    import numpy as np
+    from values_tpu.data.toy_generation import ToyGenConfig, generate_samples
+
+    data = tmp_path / "data"
+    case = data / "Case_1"
+    for split, n in (("Tr", 16), ("Ts", 2)):
+        gen = ToyGenConfig(
+            input_files=["ballSphere.stl"],
+            save_path=str(case / f"images{split}"), n_samples=n,
+            image_size=(16, 16, 16), min_object_ratio=5,
+            max_object_ratio=2, gauss_sigma=2, blur=True,
+            segmentation=True, n_raters=2, seed=11)
+        random.seed(gen.seed)
+        np.random.seed(gen.seed)
+        generate_samples(gen)
+        seg = case / f"images{split}" / "segmentation"
+        (case / f"labels{split}").mkdir(exist_ok=True)
+        for f in seg.iterdir():
+            f.rename(case / f"labels{split}" / f.name)
+        seg.rmdir()
+
+    port = _free_port()
+    worker_py = tmp_path / "fit_worker.py"
+    worker_py.write_text(FIT_WORKER)
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env["PYTHONPATH"] = os.pathsep.join(
+            p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+            if p and "axon_site" not in p)
+        env.update({
+            "REPO": str(Path(__file__).resolve().parents[1]),
+            "DATA": str(data), "EXP": str(tmp_path / "exp"),
+            "COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+            "NUM_PROCESSES": "2", "PROCESS_ID": str(pid),
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker_py)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for out, p in zip(outs, procs):
+        assert p.returncode == 0, out[-3000:]
+    ckpts = {[l for l in out.splitlines()
+              if l.startswith("CKPT")][-1] for out in outs}
+    assert len(ckpts) == 1  # both agree on the checkpoint path
+    ckpt_path = next(iter(ckpts)).split(" ", 1)[1]
+    from values_tpu.training.checkpoint import load_checkpoint
+    payload = load_checkpoint(ckpt_path)
+    assert payload["epoch"] == 0

@@ -273,15 +273,16 @@ def _conv(x, params, groups, w_item, bp, *, activation="none",
     # the Mosaic out-block needs an 8-aligned per-group Cout (production
     # filter sizes are >= 8; tiny test models take the XLA fallback), and
     # a tiling that fits scoped VMEM must exist (f32 at wide channels +
-    # full resolution does not — choose_tiling returns None there)
+    # full resolution does not — choose_tiling returns None there). The
+    # ONE tiling decision made here is passed through so the wrapper
+    # cannot disagree with the precheck.
     from ..ops.pallas.conv3d import choose_tiling as _choose_tiling
-    _cin_tot = (kernel.shape[3] if kernel.shape[3] % 8 == 0
-                else -(-kernel.shape[3] // 8) * 8)
-    kernel_fits = (kernel.shape[0] == 3 and _choose_tiling(
-        kernel.shape[4] // groups, d, h, max(_cin_tot, 8),
-        x.dtype.itemsize) is not None)
+    _cin_tot = max(8, -(-kernel.shape[3] // 8) * 8)  # wrapper's pad rule
+    _tiling = (_choose_tiling(kernel.shape[4] // groups, d, h, _cin_tot,
+                              x.dtype.itemsize)
+               if kernel.shape[0] == 3 else None)
     if lanes == LANES and (kernel.shape[4] // groups) % 8 == 0 \
-            and kernel_fits:
+            and _tiling is not None:
         if kernel.shape[3] == 1:
             # Mosaic slices the channel (sublane) dim in 8-aligned blocks;
             # replicate the single input channel 8x with kernel/8 (exact
@@ -295,6 +296,7 @@ def _conv(x, params, groups, w_item, bp, *, activation="none",
             x = x.reshape(nb_, d_, h_, c_ * 8, l_)
         return conv3d_banded_packed(x, kernel, bias, groups, w_item=w_item,
                                     x2=x2, prologue=prologue,
+                                    tiling=_tiling,
                                     activation=activation,
                                     emit_stats=emit_stats,
                                     interpret=interpret)

@@ -490,8 +490,16 @@ def conv3d_banded_packed(x: jnp.ndarray, kernel: jnp.ndarray,
         cin1 = cin = cin8
     if tiling is not None:
         qd, qh, sd = tiling[:3]
-        nq = (tiling[3] if len(tiling) > 3 else
-              next(q for q in (4, 2, 1) if (h // qh) % q == 0))
+        if len(tiling) > 3:
+            nq = tiling[3]
+        else:
+            # legacy 3-tuple: pick the largest lane batch whose A
+            # temporary stays within the scoped-VMEM margin (mirrors
+            # choose_tiling rather than a hard-coded small cap)
+            k3 = 3 * (qd + 2) * (qh + 2) * cin
+            nq = next(q for q in (16, 8, 4, 2, 1)
+                      if (h // qh) % q == 0
+                      and k3 * q * LANES * x.dtype.itemsize <= 8 * 2 ** 20)
     else:
         chosen = choose_tiling(cout, d, h, cin, x.dtype.itemsize)
         if chosen is None:
@@ -501,6 +509,9 @@ def conv3d_banded_packed(x: jnp.ndarray, kernel: jnp.ndarray,
                 f"{x.dtype.itemsize}; use the XLA conv path")
         qd, qh, sd, nq = chosen
     assert d % qd == 0 and h % qh == 0 and d % sd == 0 and sd % qd == 0
+    assert (h // qh) % nq == 0, (
+        f"nq={nq} must divide the h-block count {h // qh} "
+        "(unwritten output blocks otherwise)")
 
     if bias is None:
         bias = jnp.zeros((groups * cout,), jnp.float32)

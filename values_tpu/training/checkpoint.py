@@ -113,6 +113,11 @@ class CheckpointRetention:
     def save(self, variables: Any, hyper_parameters: Dict, *, epoch: int,
              global_step: int, opt_state: Any = None,
              monitored: float = None) -> str:
+        # one device->host copy per save() even when several files are
+        # written this epoch (last + every-n + top-k)
+        variables = _to_numpy_tree(variables)
+        if opt_state is not None:
+            opt_state = _to_numpy_tree(opt_state)
         def write(name: str) -> str:
             path = str(self.ckpt_dir / name)
             if self.fmt == "orbax":
@@ -169,11 +174,21 @@ def _async_checkpointer():
 
 def wait_for_async_checkpoints() -> None:
     """Block until in-flight async orbax writes are durable AND committed
-    (meta + rename); called at fit() teardown and before read-back."""
+    (meta + rename); called at fit() teardown and before read-back.
+    Re-raises any background commit failure — a silently lost checkpoint
+    must never look like success."""
     if _ASYNC_CHECKPOINTER is not None:
         _ASYNC_CHECKPOINTER.wait_until_finished()
+    errors = []
     while _ASYNC_COMMIT_THREADS:
-        _ASYNC_COMMIT_THREADS.pop().join()
+        t, holder = _ASYNC_COMMIT_THREADS.pop()
+        t.join()
+        if holder:
+            errors.append(holder[0])
+    if errors:
+        raise RuntimeError(
+            f"async checkpoint commit failed: {errors[0]!r}"
+        ) from errors[0]
 
 
 def save_checkpoint_orbax(path: str, variables: Any, hyper_parameters: Dict,
@@ -223,13 +238,17 @@ def save_checkpoint_orbax(path: str, variables: Any, hyper_parameters: Dict,
         # (meta + rename) rides a follow-up thread gated on completion
         import threading
 
+        holder: list = []
+
         def waiter():
-            ckptr.wait_until_finished()
-            commit()
+            try:
+                ckptr.wait_until_finished()
+                commit()
+            except BaseException as exc:  # surfaced by wait_for_async_*
+                holder.append(exc)
         t = threading.Thread(target=waiter, daemon=False)
         t.start()
-        global _ASYNC_COMMIT_THREADS
-        _ASYNC_COMMIT_THREADS.append(t)
+        _ASYNC_COMMIT_THREADS.append((t, holder))
         return
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(tmp, payload)

@@ -138,7 +138,11 @@ def fit(cfg: Config, max_steps_override: Optional[int] = None,
             data_input_dir=cfg.get("data_input_dir"),
             batch_size=cfg.get("batch_size",
                                cfg.datamodule.get("batch_size", 8)))
-    datamodule.prepare_data()
+    if jax.process_index() == 0:
+        datamodule.prepare_data()  # one writer for preprocessing output
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("values_tpu_prepare_data")
     datamodule.setup()
 
     experiment = Experiment(cfg)
@@ -176,6 +180,7 @@ def fit(cfg: Config, max_steps_override: Optional[int] = None,
             mesh = make_mesh(n_data=n_devices, n_sample=1,
                              devices=jax.devices()[:n_devices])
         train_sharding = batch_sharding(mesh)
+        val_sharding = replicated(mesh)
         parallel_step = make_parallel_train_step(experiment, mesh)
         print(f"data-parallel over {mesh.shape} mesh"
               + (f" ({dcn} DCN granules)" if dcn > 1 else ""))
@@ -228,13 +233,24 @@ def fit(cfg: Config, max_steps_override: Optional[int] = None,
     plateau_bad_epochs = 0
     lr_scale = 1.0
 
-    logger.log_hparams(cfg.to_container())
+    # multi-host: exactly one process touches the shared filesystem
+    # (checkpoints, TensorBoard events, validation panels)
+    is_main_process = jax.process_index() == 0
+    if is_main_process:
+        logger.log_hparams(cfg.to_container())
     ckpt_dir = os.path.join(logger.log_dir, "checkpoints")
+    ckpt_fmt = str(cfg.get("checkpoint_format", "pickle"))
+    if jax.process_count() > 1 and ckpt_fmt.startswith("orbax"):
+        # orbax saves are COLLECTIVE (every process must call save; its
+        # internal sync deadlocks under process-0 gating) — the pickle
+        # format with one writer is the supported multi-host path today
+        raise ValueError(
+            "checkpoint_format=orbax is single-host for now; use the "
+            "pickle format for multi-host training")
     retention = CheckpointRetention(
         ckpt_dir, save_top_k=int(cfg.get("save_top_k", 0) or 0),
         every_n_epochs=int(cfg.get("checkpoint_every_n_epochs", 0) or 0),
-        monitor="val_loss",
-        fmt=str(cfg.get("checkpoint_format", "pickle")))
+        monitor="val_loss", fmt=ckpt_fmt)
     # gradient_clip_val is applied inside Experiment.train_step_fn
     # (torch clip_grad_norm_ semantics, optim.clip_grads_by_global_norm)
 
@@ -273,26 +289,34 @@ def fit(cfg: Config, max_steps_override: Optional[int] = None,
                 f"than the {n_devices}-device mesh width (train set too "
                 "small for the configured batch_size/devices)")
         train_loss = float(jnp.mean(jnp.stack(epoch_losses)))
-        logger.log_scalars(
-            {"training/train_loss": train_loss,
-             "lr": optim.get_learning_rate(state.opt_state)}, global_step)
+        if is_main_process:
+            logger.log_scalars(
+                {"training/train_loss": train_loss,
+                 "lr": optim.get_learning_rate(state.opt_state)},
+                global_step)
 
         # validation
         val_metrics: Dict[str, list] = {}
         logged_image = False
         for batch in val_loader:
             rng, val_rng = jax.random.split(rng)
-            out = experiment.val_step(state.params, state.model_state,
-                                      _device_batch(batch), val_rng)
+            # mesh runs stage val batches replicated: a host-local array
+            # cannot meet globally-replicated params across processes
+            out = experiment.val_step(
+                state.params, state.model_state,
+                _device_batch(batch,
+                              val_sharding if mesh is not None else None),
+                val_rng)
             for k, v in out.items():
                 val_metrics.setdefault(k, []).append(float(v))
-            if not logged_image:
+            if not logged_image and is_main_process:
                 _log_val_image(logger, experiment, state, batch, val_rng,
                                global_step)
                 logged_image = True
         val_means = {f"validation/{k}": float(np.mean(v))
                      for k, v in val_metrics.items()}
-        logger.log_scalars(val_means, global_step)
+        if is_main_process:
+            logger.log_scalars(val_means, global_step)
         val_loss = val_means.get("validation/val_loss", train_loss)
         print(f"epoch {epoch}: train_loss={train_loss:.4f} "
               + " ".join(f"{k.split('/')[-1]}={v:.4f}"
@@ -312,10 +336,11 @@ def fit(cfg: Config, max_steps_override: Optional[int] = None,
             state = state._replace(opt_state=optim.set_learning_rate(
                 state.opt_state, schedule.base_lr * lr_scale))
 
-        retention.save(
-            {"params": state.params, **(state.model_state or {})},
-            cfg.to_container(), epoch=epoch, global_step=global_step,
-            opt_state=state.opt_state, monitored=val_loss)
+        if is_main_process:  # one writer per shared filesystem
+            retention.save(
+                {"params": state.params, **(state.model_state or {})},
+                cfg.to_container(), epoch=epoch, global_step=global_step,
+                opt_state=state.opt_state, monitored=val_loss)
         if max_steps_override and global_step >= max_steps_override:
             break
 
