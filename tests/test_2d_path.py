@@ -99,11 +99,10 @@ def test_train_pipeline_output_shapes(rng):
     assert -3 < out["image"].mean() < 3
 
 
-@pytest.fixture(scope="module")
-def gta_tree(tmp_path_factory):
-    """Synthetic preprocessed GTA/CS tree + splits + tiny HRNet ckpt."""
+def make_gta_tree(root):
+    """Synthetic preprocessed GTA/CS tree + splits (deterministic)."""
     rng = np.random.RandomState(0)
-    root = tmp_path_factory.mktemp("GTA")
+    root = __import__("pathlib").Path(root)
     names = {"gta": [f"{i:05d}.npy" for i in range(4)],
              "cs": [f"city_{i:03d}.npy" for i in range(4)]}
     for ds, sub in (("gta", "OriginalData"),
@@ -132,6 +131,11 @@ def gta_tree(tmp_path_factory):
     with open(splits_dir / "splits.pkl", "wb") as f:
         pickle.dump(splits, f)
     return root
+
+
+@pytest.fixture(scope="module")
+def gta_tree(tmp_path_factory):
+    return make_gta_tree(tmp_path_factory.mktemp("GTA"))
 
 
 def _hrnet_hparams(gta_tree, tmp_path):
