@@ -229,9 +229,7 @@ def fit(cfg: Config, max_steps_override: Optional[int] = None,
     schedule = experiment.lr_schedule
     if schedule.kind == "polynomial" and schedule.total_iters <= 0:
         schedule = schedule._replace(total_iters=max_steps)
-    plateau_best = np.inf
-    plateau_bad_epochs = 0
-    lr_scale = 1.0
+    plateau = optim.PlateauTracker(schedule)
 
     # multi-host: exactly one process touches the shared filesystem
     # (checkpoints, TensorBoard events, validation panels)
@@ -323,18 +321,11 @@ def fit(cfg: Config, max_steps_override: Optional[int] = None,
                          for k, v in val_means.items())
               + f" [{time.time() - t_start:.1f}s]")
 
-        # plateau LR scheduling (torch defaults: factor 0.1, patience 10)
+        # plateau LR scheduling (torch ReduceLROnPlateau semantics incl.
+        # the rel threshold 1e-4; optim.PlateauTracker)
         if schedule.kind == "plateau":
-            if val_loss < plateau_best:
-                plateau_best = val_loss
-                plateau_bad_epochs = 0
-            else:
-                plateau_bad_epochs += 1
-                if plateau_bad_epochs > schedule.patience:
-                    lr_scale *= schedule.factor
-                    plateau_bad_epochs = 0
             state = state._replace(opt_state=optim.set_learning_rate(
-                state.opt_state, schedule.base_lr * lr_scale))
+                state.opt_state, plateau.step(val_loss)))
 
         if is_main_process:  # one writer per shared filesystem
             retention.save(

@@ -25,6 +25,7 @@ def main(argv=None) -> None:
     from ..core.platform import honor_jax_platforms_env
     honor_jax_platforms_env()
     # multi-host runtime first — before anything touches the XLA backend
+    from ..parallel.mesh import initialize_distributed
     initialize_distributed()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--config-name", "-cn", default="softmax_config")

@@ -102,6 +102,7 @@ class LRSchedule(NamedTuple):
     power: float = 1.0
     factor: float = 0.1
     patience: int = 10
+    threshold: float = 1e-4        # torch rel-mode improvement threshold
     interval: str = "step"
 
     def value(self, step: int) -> float:
@@ -119,10 +120,40 @@ def polynomial_lr(optimizer: Any = None, total_iters: int = 1000,
 
 
 def reduce_lr_on_plateau(optimizer: Any = None, patience: int = 10,
-                         factor: float = 0.1,
+                         factor: float = 0.1, threshold: float = 1e-4,
                          **_ignored) -> Callable[[float], LRSchedule]:
     return lambda base_lr: LRSchedule("plateau", base_lr, factor=factor,
-                                      patience=patience, interval="epoch")
+                                      patience=patience,
+                                      threshold=float(threshold),
+                                      interval="epoch")
+
+
+class PlateauTracker:
+    """Host-side ReduceLROnPlateau state machine matching torch's
+    defaults (mode=min, threshold_mode=rel): improvement iff
+    ``metric < best * (1 - threshold)``; after ``patience`` consecutive
+    non-improving epochs the LR is scaled by ``factor``
+    (torch.optim.lr_scheduler.ReduceLROnPlateau.is_better; the
+    reference's optimizer fallback, lightning_experiment.py)."""
+
+    def __init__(self, schedule: "LRSchedule"):
+        self.schedule = schedule
+        self.best = float("inf")
+        self.bad_epochs = 0
+        self.lr_scale = 1.0
+
+    def step(self, metric: float) -> float:
+        """Record one epoch's monitored value; returns the current LR."""
+        s = self.schedule
+        if metric < self.best * (1.0 - s.threshold):
+            self.best = metric
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > s.patience:
+                self.lr_scale *= s.factor
+                self.bad_epochs = 0
+        return s.base_lr * self.lr_scale
 
 
 def clip_grads_by_global_norm(grads: Any, max_norm: float) -> Any:
