@@ -180,11 +180,16 @@ class SlidingWindowEngine:
             self.stacked_variables = jax.tree_util.tree_map(
                 jnp.asarray, group_member_variables(member_list))
 
+            # stacks leave the predictor in f32 — except in the f64
+            # parity-harness mode, which must stay f64 end to end
+            out_dtype = (jnp.float64 if jnp.dtype(dtype) == jnp.float64
+                         else jnp.float32)
+
             def predictor(variables, x, rng):
                 stack, sigma = grouped(variables, x, rng)
                 if sigma is not None:
-                    sigma = sigma.astype(jnp.float32)
-                return stack.astype(jnp.float32), sigma
+                    sigma = sigma.astype(out_dtype)
+                return stack.astype(out_dtype), sigma
             self.predictor = predictor
         else:
             self.stacked_variables = stack_params([

@@ -64,6 +64,10 @@ def test_cli(argv=None) -> argparse.Namespace:
                              "whole-image pass")
     parser.add_argument("--sliding_overlap", type=float, default=0.5,
                         help="2D sliding-window stride fraction")
+    parser.add_argument("--dtype", type=str, default="float32",
+                        choices=("float32", "float64", "bfloat16"),
+                        help="engine compute dtype; float64 is the parity-"
+                             "harness mode (requires JAX_ENABLE_X64=1)")
     parser.add_argument("--shape_bucket", type=int, default=None,
                         help="pad volume dims up to this multiple so "
                              "near-sized volumes share one compiled "
@@ -117,13 +121,18 @@ def build_engine(hparams: Dict, variables_list: List, args,
     """Instantiate the model + engine for the checkpoint's C1 mode.
     Returns (engine, is_ssn)."""
     import jax.numpy as jnp
-    dtype = dtype or jnp.float32
+    dtype = dtype or jnp.dtype(getattr(args, "dtype", None) or "float32")
     model_cfg = make_config(dict(hparams["model"]))
+    extra = {}
     if hparams.get("aleatoric_loss") is not None:
-        model = instantiate(model_cfg,
-                            aleatoric_loss=hparams.get("aleatoric_loss"))
-    else:
-        model = instantiate(model_cfg)
+        extra["aleatoric_loss"] = hparams.get("aleatoric_loss")
+    try:
+        # the model's COMPUTE dtype must match the engine dtype — casting
+        # variables alone is not enough (flax modules cast activations to
+        # their own dtype, silently demoting an f64 parity run to f32)
+        model = instantiate(model_cfg, dtype=dtype, **extra)
+    except TypeError:
+        model = instantiate(model_cfg, **extra)
     is_ssn = isinstance(model, SsnUNet3D) and len(variables_list) == 1
     if is_ssn:
         mode = "ssn"

@@ -208,6 +208,18 @@ def unet3d_params_to_torch(variables: Mapping[str, Any]) -> Dict[str, Any]:
                                   (4, 3, 0, 1, 2))
             state[f"model.{module}.weight"] = to_tensor(kernel)
             state[f"model.{module}.bias"] = to_tensor(leaves["bias"])
+    if "model.output_reconstruction_map.weight" not in state:
+        # flax only materializes params on traced paths, so the unused
+        # autoencoder head (unet3D_module.py:207-209) has no variables
+        # after ordinary training; torch's strict load_state_dict still
+        # requires the keys — synthesize zeros of the reference shape
+        # (nn.Conv3d(initial_filter_size, 1, kernel_size=1))
+        init_filters = np.asarray(
+            params["contr_1_1"]["conv"]["kernel"]).shape[-1]
+        state["model.output_reconstruction_map.weight"] = to_tensor(
+            np.zeros((1, init_filters, 1, 1, 1), dtype=np.float32))
+        state["model.output_reconstruction_map.bias"] = to_tensor(
+            np.zeros((1,), dtype=np.float32))
     return state
 
 
