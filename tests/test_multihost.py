@@ -125,19 +125,25 @@ FIT_WORKER = textwrap.dedent("""
         "max_epochs=1", "batch_size=8", "datamodule.patch_size=16",
         "datamodule.batch_size=8", "datamodule.data_num_folds=3",
         "datamodule.num_raters=2", "model.initial_filter_size=2",
-        "version=mh", "+devices=8", "+dcn_granules=2"])
+        "version=mh", "+devices=8", "+dcn_granules=2",
+        "+checkpoint_format=" + os.environ.get("CKPT_FMT", "pickle")])
     ckpt = fit(cfg)
     print("CKPT", ckpt, flush=True)
 """)
 
 
 @pytest.mark.slow
-def test_two_process_full_fit(tmp_path):
+@pytest.mark.parametrize("ckpt_fmt", ["pickle", "orbax"])
+def test_two_process_full_fit(tmp_path, ckpt_fmt):
     """A REAL 2-process fit(): covers the multi-host paths one train
     step cannot — replicated val staging, process-0-only checkpoint and
-    TensorBoard writers, the prepare_data barrier, async orbax. (The
-    r2 code review found the val loop and checkpoint writers were
-    multi-host-broken; this is the regression net.)"""
+    TensorBoard writers, the prepare_data barrier. (The r2 code review
+    found the val loop and checkpoint writers were multi-host-broken;
+    this is the regression net.) The orbax variant exercises the
+    COLLECTIVE save path (VERDICT r2 item 6: all processes call save,
+    one commits) plus read-back."""
+    if ckpt_fmt == "orbax":
+        pytest.importorskip("orbax.checkpoint")
     import random
     import numpy as np
     from values_tpu.data.toy_generation import ToyGenConfig, generate_samples
@@ -172,6 +178,7 @@ def test_two_process_full_fit(tmp_path):
         env.update({
             "REPO": str(Path(__file__).resolve().parents[1]),
             "DATA": str(data), "EXP": str(tmp_path / "exp"),
+            "CKPT_FMT": ckpt_fmt,
             "COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
             "NUM_PROCESSES": "2", "PROCESS_ID": str(pid),
             "JAX_PLATFORMS": "cpu",

@@ -118,14 +118,17 @@ class CheckpointRetention:
         variables = _to_numpy_tree(variables)
         if opt_state is not None:
             opt_state = _to_numpy_tree(opt_state)
+        primary = jax.process_index() == 0
+
         def write(name: str) -> str:
             path = str(self.ckpt_dir / name)
             if self.fmt == "orbax":
+                # collective on multi-host (all processes call)
                 save_checkpoint_orbax(
                     path, variables, hyper_parameters, epoch=epoch,
                     global_step=global_step, opt_state=opt_state,
                     async_save=self.async_save)
-            else:
+            elif primary:  # pickle: single writer
                 save_checkpoint(path, variables, hyper_parameters,
                                 epoch=epoch, global_step=global_step,
                                 opt_state=opt_state)
@@ -145,6 +148,8 @@ class CheckpointRetention:
                 self._best.sort(key=lambda t: t[0])
                 while len(self._best) > self.save_top_k:
                     _, worst = self._best.pop()
+                    if not primary:  # shared fs: one deleter
+                        continue
                     if Path(worst).is_dir():
                         import shutil
                         shutil.rmtree(worst, ignore_errors=True)
@@ -208,6 +213,11 @@ def save_checkpoint_orbax(path: str, variables: Any, hyper_parameters: Dict,
     """
     import shutil
     import orbax.checkpoint as ocp
+    multi = jax.process_count() > 1
+    primary = jax.process_index() == 0
+    if multi and async_save:
+        raise ValueError("orbax-async is single-host; use orbax (sync) "
+                         "or pickle for multi-host training")
     path = Path(path).absolute()
     # write-to-temp + rename: the multi-second zarr write must never
     # leave a window with NO valid checkpoint on disk (preemption during
@@ -215,7 +225,7 @@ def save_checkpoint_orbax(path: str, variables: Any, hyper_parameters: Dict,
     tmp = path.parent / (path.name + ".writing")
     if async_save:
         wait_for_async_checkpoints()  # one in-flight write at a time
-    if tmp.exists():
+    if primary and tmp.exists():
         shutil.rmtree(tmp)
     payload = {"state_dict": _to_numpy_tree(variables)}
     if opt_state is not None:
@@ -249,6 +259,20 @@ def save_checkpoint_orbax(path: str, variables: Any, hyper_parameters: Dict,
         t = threading.Thread(target=waiter, daemon=False)
         t.start()
         _ASYNC_COMMIT_THREADS.append((t, holder))
+        return
+    if multi:
+        # COLLECTIVE save (VERDICT r2 item 6): every process calls
+        # orbax's save (its internal barriers require it; numpy trees
+        # are written by the primary host), then exactly one process
+        # commits meta + rename behind a global barrier.
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(f"orbax_pre:{path.name}")
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(tmp, payload, force=True)
+        multihost_utils.sync_global_devices(f"orbax_written:{path.name}")
+        if primary:
+            commit()
+        multihost_utils.sync_global_devices(f"orbax_commit:{path.name}")
         return
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(tmp, payload)

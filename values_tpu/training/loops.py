@@ -238,13 +238,15 @@ def fit(cfg: Config, max_steps_override: Optional[int] = None,
         logger.log_hparams(cfg.to_container())
     ckpt_dir = os.path.join(logger.log_dir, "checkpoints")
     ckpt_fmt = str(cfg.get("checkpoint_format", "pickle"))
-    if jax.process_count() > 1 and ckpt_fmt.startswith("orbax"):
-        # orbax saves are COLLECTIVE (every process must call save; its
-        # internal sync deadlocks under process-0 gating) — the pickle
-        # format with one writer is the supported multi-host path today
+    # orbax saves are COLLECTIVE on multi-host: every process calls
+    # retention.save (checkpoint.save_checkpoint_orbax barriers + one
+    # committer); async stays single-host (its commit thread cannot
+    # participate in cross-process barriers safely)
+    collective_ckpt = jax.process_count() > 1 and ckpt_fmt == "orbax"
+    if jax.process_count() > 1 and ckpt_fmt == "orbax-async":
         raise ValueError(
-            "checkpoint_format=orbax is single-host for now; use the "
-            "pickle format for multi-host training")
+            "checkpoint_format=orbax-async is single-host; use orbax "
+            "(sync, collective) or pickle for multi-host training")
     retention = CheckpointRetention(
         ckpt_dir, save_top_k=int(cfg.get("save_top_k", 0) or 0),
         every_n_epochs=int(cfg.get("checkpoint_every_n_epochs", 0) or 0),
@@ -327,7 +329,8 @@ def fit(cfg: Config, max_steps_override: Optional[int] = None,
             state = state._replace(opt_state=optim.set_learning_rate(
                 state.opt_state, plateau.step(val_loss)))
 
-        if is_main_process:  # one writer per shared filesystem
+        if is_main_process or collective_ckpt:
+            # pickle: one writer; orbax multi-host: collective save
             retention.save(
                 {"params": state.params, **(state.model_state or {})},
                 cfg.to_container(), epoch=epoch, global_step=global_step,
