@@ -1,7 +1,9 @@
 """Training-step throughput on the real chip: f32 vs bf16 mixed
-precision (UNet3D softmax config geometry: batch 8, 64^3, filters 8,
-Dice+CE, Adam). Staged batch + lax.scan chaining (the relay tunnel adds
-multi-hundred-ms per dispatch; the scan amortizes it like bench.py).
+precision x XLA vs packed conv backend (UNet3D softmax config geometry:
+batch 8, 64^3, filters 8, Dice+CE, Adam). Staged batch + lax.scan
+chaining (the relay tunnel adds multi-hundred-ms per dispatch; the scan
+amortizes it like bench.py). Also prints training MFU from the analytic
+conv FLOP count (VERDICT r2 item 1a).
 
 Run: python scripts/bench_train_step.py [batch]
 """
@@ -32,12 +34,19 @@ def main():
     seg = jnp.asarray((rs.rand(batch, 64, 64, 64) > 0.5).astype(np.int32))
     print(f"device={jax.devices()[0]} batch={batch} 64^3 f8 Dice+CE Adam")
 
-    for precision in ("32", "bf16"):
+    # analytic FLOPs: forward conv MACs of UNet3D f8 at 64^3 per volume,
+    # x3 for fwd + bwd-data + bwd-weights (standard training cost model)
+    FWD_GFLOP_PER_VOL = 7.54  # 37.7 GFLOP / 5 members (bench.py model)
+    peak_tf = 197.0 if "v5" in str(jax.devices()[0]).lower() else 197.0
+
+    for precision, backend in (("32", "xla"), ("bf16", "xla"),
+                               ("32", "packed"), ("bf16", "packed")):
         cfg = make_config({
             "model": {"_target_": "values_tpu.models.unet3d.UNet3D",
                       "num_classes": 2, "initial_filter_size": 8},
             "datamodule": {"ignore_index": 0},
             "learning_rate": 1e-4, "precision": precision, "seed": 1,
+            "train_backend": backend,
         })
         exp = Experiment(cfg)
         state = exp.init_state(jax.random.PRNGKey(0), 64, 1)
@@ -63,8 +72,11 @@ def main():
             np.asarray(losses)
             best = min(best, time.perf_counter() - t0)
         ms = best / REPEATS * 1e3
-        print(f"precision={precision:<5s} {ms:8.1f} ms/step  "
-              f"{batch / (ms / 1e3):7.1f} vol/s  "
+        step_tflop = 3 * FWD_GFLOP_PER_VOL * batch / 1e3
+        mfu = step_tflop / (ms / 1e3) / peak_tf
+        print(f"precision={precision:<5s} backend={backend:<7s} "
+              f"{ms:8.1f} ms/step  {batch / (ms / 1e3):7.1f} vol/s  "
+              f"train_mfu={mfu:.3f}  "
               f"final_loss={float(losses[-1]):.4f}", flush=True)
 
 

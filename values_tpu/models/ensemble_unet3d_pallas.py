@@ -24,7 +24,8 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.pallas.conv3d import (LANES, conv3d_banded_packed, pack_ndhwc,
+from ..ops.pallas.conv3d import (LANES, conv3d_banded_packed,
+                                 conv3d_banded_packed_ad, pack_ndhwc,
                                  unpack_ndhwc)
 
 
@@ -252,7 +253,8 @@ def _apply_act(v, activation):
 
 
 def _conv(x, params, groups, w_item, bp, *, activation="none",
-          x2=None, prologue=None, emit_stats=False, interpret=False):
+          x2=None, prologue=None, emit_stats=False, interpret=False,
+          ad=False):
     """Grouped 3x3x3 SAME conv (Pallas banded GEMM) or 1x1x1 head (einsum)
     on packed activations, with the v2 kernel's fusions (skip concat,
     normalize prologue, stats epilogue). When the packed lane dim is
@@ -294,6 +296,12 @@ def _conv(x, params, groups, w_item, bp, *, activation="none",
             x = jnp.broadcast_to(x[:, :, :, :, None, :],
                                  (nb_, d_, h_, c_, 8, l_))
             x = x.reshape(nb_, d_, h_, c_ * 8, l_)
+        if ad:  # differentiable training path: plain conv, custom VJP
+            assert x2 is None and prologue is None and not emit_stats \
+                and activation == "none"
+            return conv3d_banded_packed_ad(x, kernel, bias, groups,
+                                           w_item=w_item, tiling=_tiling,
+                                           interpret=interpret)
         return conv3d_banded_packed(x, kernel, bias, groups, w_item=w_item,
                                     x2=x2, prologue=prologue,
                                     tiling=_tiling,
@@ -383,7 +391,8 @@ def grouped_forward_packed(grouped_variables: Dict, x: jnp.ndarray,
                            do_dropout: bool = False,
                            rng: Optional[jax.Array] = None,
                            apply_final: bool = True,
-                           interpret: bool = False) -> jnp.ndarray:
+                           interpret: bool = False,
+                           trainable: bool = False) -> jnp.ndarray:
     """Forward the grouped ensemble in the packed layout.
 
     Args:
@@ -391,9 +400,13 @@ def grouped_forward_packed(grouped_variables: Dict, x: jnp.ndarray,
         x: (B/bp, D, H, Cin_total, 128) packed input; a 1-channel input is
            tiled across members like EnsembleUNet3D.__call__.
         w_item: W extent of one item inside the packed lanes.
+        trainable: differentiable mode (VERDICT r2 item 1) — convs go
+           through the custom-VJP banded kernel, norms/activations/pools
+           stay jnp so ``jax.grad`` composes end to end. Used by the
+           packed TRAINING step (Experiment train_backend="packed").
     Returns packed logits (B/bp, D, H, members, num_classes, 128).
     """
-    if not do_dropout:
+    if not do_dropout and not trainable:
         # stats-chained fused path: norms/activations ride conv
         # prologues/epilogues, pooling runs on raw conv outputs
         return _grouped_forward_fused(grouped_variables, x, members,
@@ -407,13 +420,18 @@ def grouped_forward_packed(grouped_variables: Dict, x: jnp.ndarray,
 
     def block(v, name, norm=True, relu="leaky", dropout=True):
         # without a norm between them, the activation fuses into the conv
-        # kernel's epilogue (f32 registers, zero extra HBM passes)
-        act = "none" if norm else relu
+        # kernel's epilogue (f32 registers, zero extra HBM passes);
+        # trainable mode keeps activations in jnp (the fused epilogue is
+        # not part of the conv's custom VJP)
+        act = "none" if (norm or trainable) else relu
         v = _conv(v, p[name]["conv"] if "conv" in p[name] else p[name],
                   members, state["w"], state["bp"], activation=act,
-                  interpret=interpret)
+                  interpret=interpret, ad=trainable)
         if norm:
             v = _instance_norm(v, state["bp"])
+            v = (jax.nn.leaky_relu(v, 0.01) if relu == "leaky"
+                 else jax.nn.relu(v))
+        elif trainable:
             v = (jax.nn.leaky_relu(v, 0.01) if relu == "leaky"
                  else jax.nn.relu(v))
         if do_dropout and dropout:
@@ -804,3 +822,56 @@ def make_grouped_ssn_predictor_pallas(num_classes: int, members: int,
         return jax.nn.softmax(logits, axis=-1), None
 
     return None, predict
+
+
+# -- differentiable training entry (VERDICT r2 item 1) ------------------------
+
+def _single_member_tree(params: Dict) -> Dict:
+    """Adapt a plain flax UNet3D param tree to the grouped tree shape for
+    members=1, with TRACEABLE ops only (group_member_variables is
+    numpy-based): conv blocks/heads pass through, transpose-convs gain
+    the leading member axis."""
+    out = {}
+    for name, leaves in params.items():
+        if name in ("center_up", "upscale4", "upscale3", "upscale2"):
+            out[name] = {"kernel": leaves["kernel"][None],
+                         "bias": leaves["bias"][None]}
+        else:
+            out[name] = leaves
+    return out
+
+
+def packed_train_forward(params: Dict, x: jnp.ndarray, *,
+                         do_dropout: bool = False,
+                         rng: Optional[jax.Array] = None,
+                         interpret: bool = False):
+    """Differentiable batch-packed UNet3D forward for the TRAINING step.
+
+    Takes the plain flax UNet3D ``params`` and an NDHWC batch; returns
+    logits (B, D, H, W, C) — or ``(mu, s)`` when the tree carries the
+    aleatoric head — numerically equivalent to ``UNet3D.apply`` (same
+    math; conv ordering differs at float-rounding level). Convolutions
+    run the banded packed kernel with a custom VJP whose backward-data
+    conv is packed too, so BOTH directions escape XLA's collapsed
+    small-batch conv regime (ROADMAP r2: batch-minor lanes 16/128 below
+    batch ~96). Batches not divisible by the pack factor are zero-padded
+    and sliced back (padded items contribute nothing to the loss).
+    """
+    b, d, h, w, cin = x.shape
+    assert LANES % w == 0, f"W={w} must divide {LANES}"
+    bp = LANES // w
+    pad_b = (-b) % bp
+    if pad_b:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad_b,) + x.shape[1:], x.dtype)], axis=0)
+    grouped = {"params": _single_member_tree(params)}
+    xp = pack_ndhwc(x, bp)
+    out = grouped_forward_packed(grouped, xp, 1, w, do_dropout=do_dropout,
+                                 rng=rng, trainable=True,
+                                 interpret=interpret)
+    nb, d_, h_, _m, c, lanes = out.shape
+    flat = unpack_ndhwc(out.reshape(nb, d_, h_, c, lanes), bp)[:b]
+    if "final_aleatoric" in params:
+        mu, s = jnp.split(flat, 2, axis=-1)
+        return mu, s
+    return flat

@@ -587,6 +587,105 @@ def conv3d_banded_packed(x: jnp.ndarray, kernel: jnp.ndarray,
     return result
 
 
+# ---------------------------------------------------------------------------
+# Differentiable wrapper (training path)
+# ---------------------------------------------------------------------------
+
+def _conv_packed_any(x: jnp.ndarray, kernel: jnp.ndarray,
+                     bias: Optional[jnp.ndarray], groups: int,
+                     w_item: int, interpret: bool) -> jnp.ndarray:
+    """Packed grouped SAME conv via the banded kernel when a tiling
+    exists, else XLA on the unpacked layout (used for backward-data
+    convs whose per-group Cout is not 8-aligned, e.g. the first layer)."""
+    nb, d, h, _, lanes = x.shape
+    cout_pg = kernel.shape[4] // groups
+    cin8 = max(8, -(-kernel.shape[3] // 8) * 8)
+    tiling = (choose_tiling(cout_pg, d, h, cin8, x.dtype.itemsize)
+              if (lanes == LANES and cout_pg % 8 == 0) else None)
+    if tiling is not None:
+        return conv3d_banded_packed(x, kernel, bias, groups,
+                                    w_item=w_item, tiling=tiling,
+                                    interpret=interpret)
+    bp = lanes // w_item
+    flat = unpack_ndhwc(x, bp)
+    out = jax.lax.conv_general_dilated(
+        flat, kernel, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        feature_group_count=groups)
+    if bias is not None:
+        out = out + bias
+    return pack_ndhwc(out, bp)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _banded_packed_ad(groups, w_item, tiling, interpret, x, kernel, bias):
+    return conv3d_banded_packed(x, kernel, bias, groups, w_item=w_item,
+                                tiling=tiling, interpret=interpret)
+
+
+def _banded_packed_ad_fwd(groups, w_item, tiling, interpret, x, kernel,
+                          bias):
+    y = conv3d_banded_packed(x, kernel, bias, groups, w_item=w_item,
+                             tiling=tiling, interpret=interpret)
+    return y, (x, kernel)
+
+
+def _banded_packed_ad_bwd(groups, w_item, tiling, interpret, res, dy):
+    """Backward of the packed banded conv.
+
+    - dx is ITSELF a packed banded conv (same small-batch geometry as the
+      forward — the whole reason training routes through this kernel):
+      SAME conv of dy with the spatially flipped, per-group channel-
+      transposed kernel.
+    - dkernel is a batch-rich contraction (K = B*D*H*W): XLA's backward-
+      weights conv handles it at full MXU efficiency at any batch, so it
+      runs on the unpacked layout via jax.vjp of lax.conv.
+    - dbias is a sum over everything but channels.
+    """
+    x, kernel = res
+    bias_dtype = kernel.dtype  # bias rides the same cast as the kernel
+    cin = kernel.shape[3]
+    cout = kernel.shape[4] // groups
+    km = kernel[::-1, ::-1, ::-1].reshape(3, 3, 3, cin, groups, cout)
+    kb = jnp.transpose(km, (0, 1, 2, 5, 4, 3)).reshape(
+        3, 3, 3, cout, groups * cin)
+    dx = _conv_packed_any(dy, kb, None, groups, w_item, interpret)
+
+    bp = LANES // w_item
+    xu = unpack_ndhwc(x, bp)
+    dyu = unpack_ndhwc(dy, bp)
+
+    def conv_ref(k):
+        return jax.lax.conv_general_dilated(
+            xu, k, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            feature_group_count=groups)
+
+    _, pullback = jax.vjp(conv_ref, kernel)
+    dk, = pullback(dyu)
+    db = jnp.sum(dy.astype(jnp.float32),
+                 axis=(0, 1, 2, 4)).astype(bias_dtype)
+    return dx, dk, db
+
+
+_banded_packed_ad.defvjp(_banded_packed_ad_fwd, _banded_packed_ad_bwd)
+
+
+def conv3d_banded_packed_ad(x: jnp.ndarray, kernel: jnp.ndarray,
+                            bias: jnp.ndarray, groups: int = 1, *,
+                            w_item: int,
+                            tiling: Optional[Tuple] = None,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Differentiable :func:`conv3d_banded_packed` (training path,
+    VERDICT r2 item 1): custom VJP pairing the packed forward with a
+    packed backward-data conv and an XLA backward-weights contraction.
+    Plain conv only — no skip-concat/prologue/stats fusions (training
+    applies norms and activations as jnp ops so autodiff composes)."""
+    tiling = tuple(tiling) if tiling is not None else None
+    return _banded_packed_ad(groups, w_item, tiling, interpret, x, kernel,
+                             bias)
+
+
 def conv3d_grouped_banded(x: jnp.ndarray, kernel: jnp.ndarray,
                           bias: Optional[jnp.ndarray] = None,
                           groups: int = 1, *,

@@ -54,6 +54,13 @@ class Experiment:
         self.pretrain_epochs = int(cfg.get("pretrain_epochs", 5))
         clip = cfg.get("gradient_clip_val")
         self.gradient_clip_val = float(clip) if clip else None
+        # train_backend="packed": route the UNet3D train forward+backward
+        # through the batch-packed banded conv (custom VJP) instead of
+        # XLA's conv, which collapses at small batch (VERDICT r2 item 1).
+        self.train_backend = str(cfg.get("train_backend", "xla"))
+        if self.train_backend not in ("xla", "packed"):
+            raise ValueError(f"unknown train_backend "
+                             f"{self.train_backend!r} (xla | packed)")
         # mixed precision: bf16 compute, f32 master weights + updates
         # (the reference trains pure f32; `precision: bf16` is the
         # TPU-native training speed path — flax's dtype/param_dtype split)
@@ -194,6 +201,27 @@ class Experiment:
             return out, model_state
 
         f32 = lambda t: t.astype(jnp.float32)  # losses always reduce in f32
+        use_packed = (self.train_backend == "packed" and not self.is_ssn
+                      and not self.is_2d)
+        if use_packed:
+            from ..models.ensemble_unet3d_pallas import packed_train_forward
+            cast = (lambda t: t.astype(jnp.bfloat16)) if self.mixed_bf16 \
+                else (lambda t: t)
+            packed_params = jax.tree_util.tree_map(cast, params)
+            rng, drop_rng = jax.random.split(rng)
+            out = packed_train_forward(
+                packed_params, data,
+                do_dropout=self.has_dropout, rng=drop_rng,
+                interpret=jax.devices()[0].platform != "tpu")
+            if self.aleatoric_loss:
+                mu, s = out
+                loss = L.aleatoric_sampling_loss(
+                    _to_channel_first(f32(mu)), _to_channel_first(f32(s)),
+                    target, rng, n_samples=self.n_aleatoric_samples)
+            else:
+                loss = L.dice_ce_loss(_to_channel_first(f32(out)), target,
+                                      ignore_index=self.ignore_index)
+            return loss, model_state
         if self.is_ssn:
             dist, new_state = run(data, mean_only=pretrain)
             samples = dist.rsample(rng, (self.n_aleatoric_samples,))
