@@ -47,7 +47,8 @@ class SlidingWindowEngine:
                  mesh: Any = None, mesh_strategy: str = "window",
                  weight_mode: str = "uniform", backend: str = "auto",
                  shape_bucket: Optional[int] = None,
-                 max_cached_programs: int = 32):
+                 max_cached_programs: int = 32,
+                 prefetch: bool = True):
         """``mesh``: an optional jax.sharding.Mesh for multi-chip C1.
         ``mesh_strategy``:
           - "window": the window batch shards along the mesh ``data``
@@ -95,10 +96,21 @@ class SlidingWindowEngine:
         # to a multiple and crops the outputs back (numerically identical
         # on the original extent), and the program cache is LRU-bounded
         self.shape_bucket = shape_bucket
+        # double-buffered volume ingest (VERDICT r2 item 4): run_samples
+        # np.loads + device_puts the NEXT volume on a background thread
+        # while the current one computes
+        self.prefetch = bool(prefetch)
         self.max_cached_programs = int(max_cached_programs)
         from collections import OrderedDict
         self._process_cache: "OrderedDict[Any, Any]" = OrderedDict()
 
+        sample_sharded = (mesh is not None
+                          and self.mesh_strategy == "sample")
+        if sample_sharded:
+            # sample sharding replicates the per-member stacked params
+            # and shards the global pass index space; the grouped/packed
+            # lowerings fuse members into one tree and are bypassed here
+            use_grouped_ensemble = False
         if use_grouped_ensemble and self._grouped_eligible(model):
             # MXU-optimized path: members fused into grouped convolutions
             # (values_tpu.models.ensemble_unet3d); numerically equivalent
@@ -203,23 +215,16 @@ class SlidingWindowEngine:
             self._setup_sample_sharding(use_grouped_ensemble)
 
     def _setup_sample_sharding(self, grouped: bool) -> None:
-        """Shard ensemble members over the mesh ``sample`` axis (shard_map
-        around the per-shard vmapped predictor; parallel.mesh)."""
-        from ..parallel.mesh import (SAMPLE_AXIS,
-                                     make_parallel_sample_predict,
-                                     sample_sharding)
-        n_shards = self.mesh.shape[SAMPLE_AXIS]
-        if (grouped or self.mode != "default" or self.n_pred != 1
-                or self.n_models % n_shards):
-            raise ValueError(
-                "mesh_strategy='sample' needs the non-grouped default mode "
-                f"with n_pred=1 and n_models divisible by {n_shards}")
-        sharded = make_parallel_sample_predict(
-            self.model, self.n_models, self.mesh, n_pred=1,
+        """Shard the global stochastic-pass space (members x MC passes,
+        TTA variants, aleatoric/SSN samples) over the mesh ``sample``
+        axis; params replicate (parallel.mesh.make_parallel_pass_predict,
+        VERDICT r2 item 5 'the headline win', SURVEY §2.7)."""
+        from ..parallel.mesh import make_parallel_pass_predict
+        self.predictor = make_parallel_pass_predict(
+            self.model, self.mode, self.n_models, self.mesh,
+            n_pred=self.n_pred,
+            n_aleatoric_samples=self.n_aleatoric_samples,
             stochastic=bool(getattr(self.model, "do_dropout", False)))
-        self.stacked_variables = jax.device_put(
-            self.stacked_variables, sample_sharding(self.mesh))
-        self.predictor = lambda v, x, rng: (sharded(v, x, rng), None)
 
     def _select_backend(self, backend: str, mc_dropout: bool) -> bool:
         """True -> the batch-packed Pallas pipeline; False -> XLA convs.
@@ -395,22 +400,14 @@ class SlidingWindowEngine:
         return fn
 
     # -----------------------------------------------------------------
-    def run_volume(self, volume: np.ndarray,
-                   labels: Optional[np.ndarray] = None,
-                   starts: Optional[np.ndarray] = None):
-        """Predict one volume. Returns reference-layout numpy arrays:
-        (softmax_sums (S, C, *vol), counts (*vol), data_sums (*vol),
-        seg_sums (R, *vol) | None, sigma_sums (S, C, *vol) | None)."""
+    def _stage_volume(self, volume: np.ndarray):
+        """Shape-bucket pad + async H2D. Bucketing zero-pads dims up to
+        the bucket multiple so near-sized volumes share one compiled
+        program; windows only cover the original extent and outputs are
+        cropped back, so results are bit-identical on the original
+        voxels. Thread-safe (run_samples stages the next volume on a
+        background thread while the current one computes)."""
         orig_shape = tuple(volume.shape)
-        if starts is None:
-            starts = enumerate_window_starts(
-                orig_shape, self.patch_size, self.patch_overlap)
-        starts = np.asarray(starts)
-
-        # shape bucketing: zero-pad dims up to the bucket multiple so
-        # near-sized volumes share one compiled program; windows only
-        # cover the original extent and outputs are cropped back, so the
-        # results are bit-identical on the original voxels
         if self.shape_bucket:
             q = int(self.shape_bucket)
             bucketed = tuple(-(-dim // q) * q for dim in orig_shape)
@@ -418,6 +415,27 @@ class SlidingWindowEngine:
                 volume = np.pad(volume, [(0, b - d) for d, b in
                                          zip(orig_shape, bucketed)])
         vol_shape = tuple(volume.shape)
+        volume_dev = jax.device_put(
+            np.asarray(volume, dtype=np.dtype(self.dtype)))
+        return volume_dev, vol_shape, orig_shape
+
+    def run_volume(self, volume: np.ndarray,
+                   labels: Optional[np.ndarray] = None,
+                   starts: Optional[np.ndarray] = None,
+                   staged: Optional[tuple] = None):
+        """Predict one volume. Returns reference-layout numpy arrays:
+        (softmax_sums (S, C, *vol), counts (*vol), data_sums (*vol),
+        seg_sums (R, *vol) | None, sigma_sums (S, C, *vol) | None).
+        ``staged``: optional pre-staged (volume_dev, vol_shape,
+        orig_shape) from :meth:`_stage_volume` (prefetch path)."""
+        if staged is not None:
+            volume_dev, vol_shape, orig_shape = staged
+        else:
+            volume_dev, vol_shape, orig_shape = self._stage_volume(volume)
+        if starts is None:
+            starts = enumerate_window_starts(
+                orig_shape, self.patch_size, self.patch_overlap)
+        starts = np.asarray(starts)
 
         # chunk the window batch to bound activation memory; the ragged
         # last chunk runs unpadded (the process-fn cache keys on chunk
@@ -432,7 +450,6 @@ class SlidingWindowEngine:
         window_sharded = self.mesh_strategy == "window"
         n_data = self.mesh.shape["data"] if window_sharded else 1
 
-        volume_dev = jnp.asarray(volume, dtype=self.dtype)
         stitched = sigma_stitched = counts = data_sums = None
         for part in chunks:
             if window_sharded:
@@ -530,8 +547,15 @@ class SlidingWindowEngine:
             entry = by_image.setdefault(sample["image_path"], {
                 "label_paths": sample.get("label_paths"), "crops": []})
             entry["crops"].append(sample["crop_idx"])
+        items = list(by_image.items())
 
-        for image_path, entry in by_image.items():
+        def load_item(idx: int):
+            """np.load + shape-bucket + async H2D of one volume — runs on
+            the prefetch thread so the NEXT volume's IO and staging ride
+            under the current volume's compute (VERDICT r2 item 4; the
+            per-window H2D hot loop this engine exists to kill,
+            test_3D.py:399-483)."""
+            image_path, entry = items[idx]
             volume = np.load(image_path)
             labels = None
             if entry["label_paths"]:
@@ -541,8 +565,26 @@ class SlidingWindowEngine:
             starts = np.asarray(
                 [[c[0][0], c[1][0], c[2][0]] for c in entry["crops"]],
                 dtype=np.int32)
+            return (image_path, entry, self._stage_volume(volume), labels,
+                    starts)
+
+        def consume(loaded):
+            image_path, entry, staged, labels, starts = loaded
             softmax_sums, counts, data_sums, seg_sums, sigma_sums = (
-                self.run_volume(volume, labels, starts))
+                self.run_volume(None, labels, starts, staged=staged))
             carrier.add_volume(image_path, entry["label_paths"], data_sums,
                                seg_sums, softmax_sums, counts, sigma_sums)
+
+        if not self.prefetch or len(items) <= 1:
+            for idx in range(len(items)):
+                consume(load_item(idx))
+            return carrier
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(load_item, 0)
+            for idx in range(len(items)):
+                loaded = fut.result()
+                if idx + 1 < len(items):
+                    fut = pool.submit(load_item, idx + 1)
+                consume(loaded)
         return carrier

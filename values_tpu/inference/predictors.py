@@ -165,6 +165,123 @@ def make_ssn_predictor(model, n_pred: int) -> Callable:
     return predict
 
 
+def total_passes(mode: str, n_models: int, n_pred: int,
+                 n_aleatoric_samples: int) -> int:
+    """The global stochastic-pass count S for a C1 mode (the sample axis
+    the mesh shards; SURVEY.md §2.7 'the headline win')."""
+    if mode == "tta":
+        return n_models * 16
+    if mode == "aleatoric":
+        return n_models * n_aleatoric_samples
+    if mode == "ssn":
+        return n_pred
+    return n_models * n_pred
+
+
+def make_pass_range_predictor(model, mode: str, n_models: int,
+                              n_pred: int = 1,
+                              n_aleatoric_samples: int = 10,
+                              stochastic: Optional[bool] = None) -> Callable:
+    """(stacked_variables, x, rng, pass_start, n_local) -> local stacks.
+
+    Computes passes [pass_start, pass_start + n_local) of the GLOBAL
+    sample axis, with every random draw keyed by the global pass index
+    (``fold_in(rng, global_pass)``) — so any sharding of the pass space
+    produces bit-identical slices regardless of shard count. This is the
+    per-shard body of the generalized ``mesh_strategy="sample"``
+    (VERDICT r2 item 5): params are tiny at these model sizes, so they
+    replicate and only the pass index space shards.
+
+    ``pass_start`` is traced (a shard's ``axis_index * n_local``);
+    ``n_local`` is static. Pass ordering matches the unsharded
+    predictors: models outer, variants/samples inner.
+    """
+    if stochastic is None:
+        stochastic = bool(getattr(model, "do_dropout", False))
+
+    def member(stacked_variables, m):
+        return jax.tree_util.tree_map(
+            lambda v: jax.lax.dynamic_index_in_dim(v, m, 0, False),
+            stacked_variables)
+
+    if mode == "default":
+        def predict(stacked_variables, x, rng, pass_start, n_local):
+            def per_pass(i):
+                p = pass_start + i
+                m = p // n_pred
+                return _apply_softmax(
+                    model, member(stacked_variables, m), x,
+                    jax.random.fold_in(rng, p), stochastic)
+            return jax.vmap(per_pass)(jnp.arange(n_local)), None
+        return predict
+
+    if mode == "tta":
+        def predict(stacked_variables, x, rng, pass_start, n_local):
+            var_key, noise_key, drop_key = jax.random.split(rng, 3)
+            # same noised input on every shard (one draw per volume, as
+            # in make_tta_predictor / batchgenerators' defaults)
+            variance = jax.random.uniform(var_key, (), minval=0.0,
+                                          maxval=0.1)
+            noise = jax.random.normal(noise_key, x.shape, dtype=x.dtype)
+            x_noise = x + noise * variance
+
+            def variant(inp, axes, variables, key):
+                flipped = jnp.flip(inp, axis=axes) if axes else inp
+                out = _apply_softmax(model, variables, flipped, key,
+                                     stochastic)
+                return jnp.flip(out, axis=axes) if axes else out
+
+            branches = []
+            for noisy in (0, 1):
+                for axes in ((),) + tuple(FLIP_COMBOS):
+                    branches.append(
+                        lambda vb, key, noisy=noisy, axes=axes: variant(
+                            x_noise if noisy else x, axes, vb, key))
+
+            def per_pass(i):
+                p = pass_start + i
+                m = p // 16
+                v = p % 16
+                return jax.lax.switch(
+                    v, branches, member(stacked_variables, m),
+                    jax.random.fold_in(drop_key, p))
+            return jax.vmap(per_pass)(jnp.arange(n_local)), None
+        return predict
+
+    if mode == "aleatoric":
+        def predict(stacked_variables, x, rng, pass_start, n_local):
+            def per_pass(i):
+                p = pass_start + i
+                m = p // n_aleatoric_samples
+                mu, s = model.apply(member(stacked_variables, m), x,
+                                    deterministic=True)
+                sigma = jnp.exp(s / 2.0)
+                eps = jax.random.normal(jax.random.fold_in(rng, p),
+                                        mu.shape, dtype=mu.dtype)
+                return jax.nn.softmax(mu + sigma * eps, axis=-1), sigma
+            out, sigmas = jax.vmap(per_pass)(jnp.arange(n_local))
+            return out, sigmas
+        return predict
+
+    if mode == "ssn":
+        def predict(stacked_variables, x, rng, pass_start, n_local):
+            variables = jax.tree_util.tree_map(lambda v: v[0],
+                                               stacked_variables)
+            dist = model.apply(variables, x, deterministic=True)
+            b = x.shape[0]
+            spatial = x.shape[1:-1]
+
+            def per_pass(i):
+                sample = dist.sample(
+                    jax.random.fold_in(rng, pass_start + i), (1,))
+                logits = sample.reshape((b, model.num_classes) + spatial)
+                return jax.nn.softmax(jnp.moveaxis(logits, 1, -1), axis=-1)
+            return jax.vmap(per_pass)(jnp.arange(n_local)), None
+        return predict
+
+    raise ValueError(f"Unknown C1 prediction mode: {mode}")
+
+
 def make_predictor(model, mode: str, n_models: int, n_pred: int = 1,
                    n_aleatoric_samples: int = 10,
                    stochastic: Optional[bool] = None) -> Callable:
