@@ -111,6 +111,65 @@ def build_workload():
     return step, run_pool, stacked
 
 
+def build_workload_packed():
+    """The same per-volume pipeline with EVERYTHING in the batch-packed
+    lane layout (VERDICT r2 item 2): packed forward -> packed softmax +
+    PE/EE/MI -> packed Dice -> packed C3 aggregations. No unpack
+    transposes anywhere — only the (10, B) scalars leave the layout."""
+    import jax
+    import jax.numpy as jnp
+    from values_tpu.models.ensemble_unet3d import group_member_variables
+    from values_tpu.models.ensemble_unet3d_pallas import (
+        grouped_forward_packed)
+    from values_tpu.models.unet3d import UNet3D
+    from values_tpu.ops import packed_stats
+    from values_tpu.ops.pallas.conv3d import LANES, pack_ndhwc
+
+    base = UNet3D(num_classes=2, initial_filter_size=8)
+    init = jax.jit(base.init)
+    keys = jax.random.split(jax.random.PRNGKey(0), N_MEMBERS)
+    stacked = group_member_variables(
+        [init(k, jnp.zeros((1, PATCH, PATCH, PATCH, 1))) for k in keys])
+    bp = LANES // PATCH
+
+    @jax.jit
+    def step(stacked_variables, volumes, gt, rng):
+        del rng
+        gv = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16),
+                                    stacked_variables)
+        xp = pack_ndhwc(volumes.astype(jnp.bfloat16), bp)
+        logits = grouped_forward_packed(gv, xp, N_MEMBERS, PATCH)
+        stats = packed_stats.fused_sample_statistics_packed(logits)
+        seg = jnp.argmax(stats["mean_softmax"], axis=-2).astype(jnp.int32)
+        gtp = packed_stats.pack_labels(gt.astype(jnp.int32), bp)
+        rows = [packed_stats.packed_dice(seg, gtp, bp, ignore_index=0)]
+        for unc in (stats["pred_entropy"], stats["expected_entropy"],
+                    stats["mutual_information"]):
+            agg = packed_stats.packed_aggregate_all(
+                unc, bp, patch=AGG_PATCH, threshold=THRESHOLD)
+            rows.extend([agg["patch_level"], agg["image_level"],
+                         agg["threshold"]])
+        return jnp.stack(rows)  # (10, B)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("repeats",))
+    def run_pool(stacked_variables, vol_pool, gt_pool, rng, repeats=1):
+        k = vol_pool.shape[0]
+
+        def body(carry, i):
+            vols = jax.lax.dynamic_index_in_dim(vol_pool, i % k, 0,
+                                                keepdims=False)
+            gt = jax.lax.dynamic_index_in_dim(gt_pool, i % k, 0,
+                                              keepdims=False)
+            return carry, step(stacked_variables, vols, gt, carry)
+        _, scores = jax.lax.scan(body, rng,
+                                 jnp.arange(k * repeats, dtype=jnp.int32))
+        return scores
+
+    return step, run_pool, stacked
+
+
 USEFUL_FLOPS_PER_VOLUME = 37.7e9   # fwd convs+transpose-convs, ensemble-5
 PEAK_BF16 = 197e12                 # v5e
 
@@ -166,6 +225,61 @@ def measure_small_batch_forward(backend: str, batch: int = 16) -> float:
         np.asarray(chained(stacked, x, rng))
         best = min(best, time.perf_counter() - t0)
     return batch * repeats / best
+
+
+def measure_train_step(backend: str = "packed", batch: int = 8) -> dict:
+    """bf16 training-step throughput (batch 8, 64^3, UNet3D f8, Dice+CE,
+    Adam) through the given conv backend; returns ms/step, vol/s and
+    train MFU from the analytic FLOP count (fwd+bwd ~ 3x fwd).
+    train_backend="packed" routes forward AND backward-data convs through
+    the batch-packed banded kernel (custom VJP) — the r3 training-step
+    redesign (measured: 63 ms vs XLA's 115 ms at batch 8)."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from values_tpu.config import make_config
+    from values_tpu.training.experiment import Experiment
+
+    cfg = make_config({
+        "model": {"_target_": "values_tpu.models.unet3d.UNet3D",
+                  "num_classes": 2, "initial_filter_size": 8},
+        "datamodule": {"ignore_index": 0},
+        "learning_rate": 1e-4, "precision": "bf16", "seed": 1,
+        "train_backend": backend,
+    })
+    exp = Experiment(cfg)
+    state = exp.init_state(jax.random.PRNGKey(0), PATCH, 1)
+    rs = np.random.RandomState(0)
+    data = jnp.asarray(rs.rand(batch, PATCH, PATCH, PATCH, 1)
+                       .astype(np.float32))
+    seg = jnp.asarray((rs.rand(batch, PATCH, PATCH, PATCH) > 0.5)
+                      .astype(np.int32))
+    repeats = 8
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def steps(state, data, seg, rng):
+        def body(st, i):
+            st, loss = exp.train_step_fn(
+                st, {"data": data, "seg": seg},
+                jax.random.fold_in(rng, i), False)
+            return st, loss
+        return jax.lax.scan(body, state, jnp.arange(repeats))
+
+    rng = jax.random.PRNGKey(1)
+    state, losses = steps(state, data, seg, rng)
+    jax.block_until_ready(losses)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, losses = steps(state, data, seg, rng)
+        np.asarray(losses)
+        best = min(best, time.perf_counter() - t0)
+    ms = best / repeats * 1e3
+    fwd_flop_per_vol = USEFUL_FLOPS_PER_VOLUME / N_MEMBERS
+    mfu = 3 * fwd_flop_per_vol * batch / (best / repeats) / PEAK_BF16
+    return {"ms_per_step": round(ms, 1),
+            "volumes_per_sec": round(batch / (ms / 1e3), 1),
+            "train_mfu": round(mfu, 4)}
 
 
 def measure_reference_torch_cpu(n_volumes: int = 2) -> float:
@@ -252,7 +366,28 @@ def main() -> None:
     assert all_scores.shape == (K_POOL * REPEATS, 10, BATCH)
     assert np.all(np.isfinite(all_scores))
 
-    volumes_per_sec = per_dispatch_volumes / best
+    xla_vps = per_dispatch_volumes / best
+    volumes_per_sec = xla_vps
+
+    # fully-packed pipeline (packed forward + packed C2/C3 consumers, no
+    # unpack transposes): same pools, same protocol
+    _pstep, run_pool_packed, stacked_p = build_workload_packed()
+    for _ in range(WARMUP_BATCHES):
+        outp = run_pool_packed(stacked_p, vol_pool, gt_pool, rng,
+                               repeats=REPEATS)
+        np.asarray(outp)
+    best_packed = float("inf")
+    for _ in range(n_dispatches):
+        t0 = time.perf_counter()
+        outp = run_pool_packed(stacked_p, vol_pool, gt_pool, rng,
+                               repeats=REPEATS)
+        packed_scores = np.asarray(outp)
+        best_packed = min(best_packed, time.perf_counter() - t0)
+    assert packed_scores.shape == (K_POOL * REPEATS, 10, BATCH)
+    assert np.all(np.isfinite(packed_scores))
+    packed_vps = per_dispatch_volumes / best_packed
+    if packed_vps > volumes_per_sec:
+        volumes_per_sec, best = packed_vps, best_packed
 
     # end-to-end variant: every batch uploaded from HOST memory before its
     # step (device_put + step + scalar fetch per batch). In this container
@@ -275,6 +410,7 @@ def main() -> None:
     ref_cpu = measure_reference_torch_cpu()
     small_pallas = measure_small_batch_forward("pallas")
     small_xla = measure_small_batch_forward("xla")
+    train_packed = measure_train_step("packed")
     print(json.dumps({
         "metric": "lidc_ensemble5_entropy_inference_throughput",
         "value": round(volumes_per_sec, 2),
@@ -283,6 +419,8 @@ def main() -> None:
             volumes_per_sec / REFERENCE_A100_VOLUMES_PER_SEC, 2),
         "baseline_kind": "estimated_a100_fp64",
         "staged_volumes_per_sec": round(volumes_per_sec, 2),
+        "staged_xla_volumes_per_sec": round(xla_vps, 2),
+        "staged_packed_volumes_per_sec": round(packed_vps, 2),
         "end_to_end_volumes_per_sec": round(e2e_vps, 2),
         "mfu": round(mfu, 4),
         "measured_reference_torch_cpu_volumes_per_sec": round(ref_cpu, 3),
@@ -290,6 +428,13 @@ def main() -> None:
         # batch-packed Pallas pipeline vs XLA grouped convs
         "window_batch16_pallas_volumes_per_sec": round(small_pallas, 1),
         "window_batch16_xla_volumes_per_sec": round(small_xla, 1),
+        # bf16 training step, batch 8, packed custom-VJP conv backend
+        "train_step_packed_bf16": train_packed,
+        # every timing above takes the best of 3 fully-synchronized
+        # dispatches of a chained-scan program — the tunnel's multi-
+        # hundred-ms per-dispatch jitter is excluded by protocol, so
+        # run-to-run variation reflects the chip, not relay weather
+        "protocol": "best_of_3_chained_scan",
     }))
 
 
