@@ -51,6 +51,50 @@ def test_single_conv_vjp_matches_lax():
                                    err_msg=name)
 
 
+@pytest.mark.parametrize("act", ["leaky", "relu"])
+def test_single_conv_vjp_fused_activation(act):
+    """The fused epilogue activation's derivative is recovered from the
+    saved post-activation output; grads must match act(conv) in XLA."""
+    B, D, H, W, CIN, COUT, G = 8, 16, 16, 16, 8, 16, 2
+    bp = LANES // W
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, D, H, W, G * CIN),
+                          jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 3, CIN, G * COUT),
+                          jnp.float32) * 0.1
+    b = jax.random.normal(jax.random.PRNGKey(2), (G * COUT,), jnp.float32)
+    xp = pack_ndhwc(x, bp)
+
+    def f_packed(xp_, k_, b_):
+        y = conv3d_banded_packed_ad(xp_, k_, b_, G, w_item=W,
+                                    activation=act, interpret=True)
+        return jnp.sum(jnp.sin(y))
+
+    def f_ref(xp_, k_, b_):
+        flat = unpack_ndhwc(xp_, bp)
+        y = jax.lax.conv_general_dilated(
+            flat, k_, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            feature_group_count=G) + b_
+        y = (jax.nn.leaky_relu(y, 0.01) if act == "leaky"
+             else jax.nn.relu(y))
+        return jnp.sum(jnp.sin(pack_ndhwc(y, bp)))
+
+    np.testing.assert_allclose(float(f_packed(xp, k, b)),
+                               float(f_ref(xp, k, b)), rtol=1e-5)
+    g1 = jax.grad(f_packed, argnums=(0, 1, 2))(xp, k, b)
+    g2 = jax.grad(f_ref, argnums=(0, 1, 2))(xp, k, b)
+    # tolerance is wider than the plain-conv test: the two forwards round
+    # the pre-activation differently in the last ulp, so voxels that land
+    # within roundoff of 0 can take opposite act' branches (1 vs slope) —
+    # a benign O(1e-4)-relative disagreement concentrated in db. A wiring
+    # bug (wrong slope / missing mask) would show as O(1) errors.
+    for name, a, c in zip(("dx", "dk", "db"), g1, g2):
+        scale = float(jnp.max(jnp.abs(c)))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=1e-3 * max(scale, 1.0),
+                                   err_msg=name)
+
+
 @pytest.fixture(scope="module")
 def unet_setup():
     model = UNet3D(num_classes=2, initial_filter_size=8)

@@ -296,11 +296,11 @@ def _conv(x, params, groups, w_item, bp, *, activation="none",
             x = jnp.broadcast_to(x[:, :, :, :, None, :],
                                  (nb_, d_, h_, c_, 8, l_))
             x = x.reshape(nb_, d_, h_, c_ * 8, l_)
-        if ad:  # differentiable training path: plain conv, custom VJP
-            assert x2 is None and prologue is None and not emit_stats \
-                and activation == "none"
+        if ad:  # differentiable training path: conv(+act), custom VJP
+            assert x2 is None and prologue is None and not emit_stats
             return conv3d_banded_packed_ad(x, kernel, bias, groups,
                                            w_item=w_item, tiling=_tiling,
+                                           activation=activation,
                                            interpret=interpret)
         return conv3d_banded_packed(x, kernel, bias, groups, w_item=w_item,
                                     x2=x2, prologue=prologue,
@@ -420,18 +420,15 @@ def grouped_forward_packed(grouped_variables: Dict, x: jnp.ndarray,
 
     def block(v, name, norm=True, relu="leaky", dropout=True):
         # without a norm between them, the activation fuses into the conv
-        # kernel's epilogue (f32 registers, zero extra HBM passes);
-        # trainable mode keeps activations in jnp (the fused epilogue is
-        # not part of the conv's custom VJP)
-        act = "none" if (norm or trainable) else relu
+        # kernel's epilogue (f32 registers, zero extra HBM passes) — in
+        # trainable mode too: the custom VJP recovers the activation
+        # derivative from the saved post-activation output
+        act = "none" if norm else relu
         v = _conv(v, p[name]["conv"] if "conv" in p[name] else p[name],
                   members, state["w"], state["bp"], activation=act,
                   interpret=interpret, ad=trainable)
         if norm:
             v = _instance_norm(v, state["bp"])
-            v = (jax.nn.leaky_relu(v, 0.01) if relu == "leaky"
-                 else jax.nn.relu(v))
-        elif trainable:
             v = (jax.nn.leaky_relu(v, 0.01) if relu == "leaky"
                  else jax.nn.relu(v))
         if do_dropout and dropout:

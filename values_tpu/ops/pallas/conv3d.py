@@ -617,22 +617,31 @@ def _conv_packed_any(x: jnp.ndarray, kernel: jnp.ndarray,
     return pack_ndhwc(out, bp)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _banded_packed_ad(groups, w_item, tiling, interpret, x, kernel, bias):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _banded_packed_ad(groups, w_item, tiling, interpret, activation, x,
+                      kernel, bias):
     return conv3d_banded_packed(x, kernel, bias, groups, w_item=w_item,
-                                tiling=tiling, interpret=interpret)
+                                tiling=tiling, activation=activation,
+                                interpret=interpret)
 
 
-def _banded_packed_ad_fwd(groups, w_item, tiling, interpret, x, kernel,
-                          bias):
+def _banded_packed_ad_fwd(groups, w_item, tiling, interpret, activation, x,
+                          kernel, bias):
     y = conv3d_banded_packed(x, kernel, bias, groups, w_item=w_item,
-                             tiling=tiling, interpret=interpret)
-    return y, (x, kernel)
+                             tiling=tiling, activation=activation,
+                             interpret=interpret)
+    # the POST-activation output doubles as the activation residual:
+    # leaky/relu preserve sign, so act'(pre) = 1 if y > 0 else slope
+    return y, (x, kernel, y if activation != "none" else None)
 
 
-def _banded_packed_ad_bwd(groups, w_item, tiling, interpret, res, dy):
-    """Backward of the packed banded conv.
+def _banded_packed_ad_bwd(groups, w_item, tiling, interpret, activation,
+                          res, dy):
+    """Backward of the packed banded conv (+fused epilogue activation).
 
+    - the activation derivative is recovered from the saved
+      post-activation output (sign-preserving leaky/relu: y > 0 iff
+      pre > 0), turning dy into d(conv+bias) with one fused elementwise,
     - dx is ITSELF a packed banded conv (same small-batch geometry as the
       forward — the whole reason training routes through this kernel):
       SAME conv of dy with the spatially flipped, per-group channel-
@@ -642,7 +651,11 @@ def _banded_packed_ad_bwd(groups, w_item, tiling, interpret, res, dy):
       runs on the unpacked layout via jax.vjp of lax.conv.
     - dbias is a sum over everything but channels.
     """
-    x, kernel = res
+    x, kernel, y_act = res
+    if activation != "none":
+        slope = jnp.asarray(0.01 if activation == "leaky" else 0.0,
+                            dy.dtype)
+        dy = jnp.where(y_act > 0, dy, slope * dy)
     bias_dtype = kernel.dtype  # bias rides the same cast as the kernel
     cin = kernel.shape[3]
     cout = kernel.shape[4] // groups
@@ -675,15 +688,19 @@ def conv3d_banded_packed_ad(x: jnp.ndarray, kernel: jnp.ndarray,
                             bias: jnp.ndarray, groups: int = 1, *,
                             w_item: int,
                             tiling: Optional[Tuple] = None,
+                            activation: str = "none",
                             interpret: bool = False) -> jnp.ndarray:
     """Differentiable :func:`conv3d_banded_packed` (training path,
     VERDICT r2 item 1): custom VJP pairing the packed forward with a
     packed backward-data conv and an XLA backward-weights contraction.
-    Plain conv only — no skip-concat/prologue/stats fusions (training
-    applies norms and activations as jnp ops so autodiff composes)."""
+    The epilogue activation fuses too (its derivative is recovered from
+    the post-activation output, so norm-less conv+act blocks cost zero
+    extra HBM passes in training); skip-concat/prologue/stats fusions
+    stay inference-only (training applies norms as jnp ops so autodiff
+    composes)."""
     tiling = tuple(tiling) if tiling is not None else None
-    return _banded_packed_ad(groups, w_item, tiling, interpret, x, kernel,
-                             bias)
+    return _banded_packed_ad(groups, w_item, tiling, interpret, activation,
+                             x, kernel, bias)
 
 
 def conv3d_grouped_banded(x: jnp.ndarray, kernel: jnp.ndarray,
