@@ -56,6 +56,16 @@ def soft_dice_loss(probs: jnp.ndarray, target: jnp.ndarray,
     return soft_dice(probs, gt_onehot, smooth, nom_smooth, only_intersect)
 
 
+def _select_class(values: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """values[b, target[b, ...], ...] via a one-hot reduce over axis 1
+    (TPU-friendly: avoids the serial gather take_along_axis lowers to)."""
+    c = values.shape[1]
+    classes = jax.lax.broadcasted_iota(jnp.int32, (1, c) + (1,) *
+                                       (values.ndim - 2), 1)
+    picked = jnp.where(classes == target[:, None, ...], values, 0.0)
+    return jnp.sum(picked, axis=1)
+
+
 def cross_entropy(logits: jnp.ndarray, target: jnp.ndarray,
                   ignore_index: Optional[int] = None,
                   reduction: str = "mean") -> jnp.ndarray:
@@ -65,9 +75,12 @@ def cross_entropy(logits: jnp.ndarray, target: jnp.ndarray,
     safe_target = target
     if ignore_index is not None:
         safe_target = jnp.where(target == ignore_index, 0, target)
-    picked = jnp.take_along_axis(
-        log_probs, safe_target[:, None, ...], axis=1).squeeze(1)
-    nll = -picked
+    # one-hot contraction over the (small) class axis, NOT
+    # take_along_axis: XLA lowers the per-voxel gather to a serial
+    # dynamic-slice loop on TPU (measured 31 ms/step at batch 8 — over
+    # half the whole packed train step); the masked reduce is fully
+    # vectorized and fuses with the log-softmax.
+    nll = -_select_class(log_probs, safe_target)
     if ignore_index is not None:
         mask = (target != ignore_index).astype(nll.dtype)
         nll = nll * mask

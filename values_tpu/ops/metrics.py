@@ -154,9 +154,10 @@ def generalized_energy_distance(
 def nll_loss(log_probs: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     """Mean negative log likelihood, log_probs (B, C, ...), target (B, ...)."""
     target = target.astype(jnp.int32)
-    picked = jnp.take_along_axis(
-        log_probs, target[:, None, ...], axis=1).squeeze(1)
-    return -jnp.mean(picked)
+    # one-hot reduce, not take_along_axis (serial gather on TPU; see
+    # values_tpu.ops.losses._select_class)
+    from .losses import _select_class
+    return -jnp.mean(_select_class(log_probs, target))
 
 
 def per_rater_test_metrics(output_softmax: jnp.ndarray,
