@@ -46,14 +46,20 @@ class GroupedConvTransposeK2S2(nn.Module):
                             self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.members, self.features), self.param_dtype)
-        xm = x.reshape(b, d, h, w, self.members, cin).astype(self.dtype)
-        # spatial kernel axes (a, e, f) interleave with (d, h, w); member m
-        # and output channel o stay last so the flatten below yields
-        # member-major channel blocks
-        y = jnp.einsum("bdhwmi,maefio->bdahewfmo", xm,
-                       kernel.astype(self.dtype))
-        y = y.reshape(b, 2 * d, 2 * h, 2 * w,
-                      self.members * self.features)
+        # ConvTranspose(k=2, s=2) as a grouped conv over the 2x-dilated
+        # input with the spatially flipped kernel: XLA's native conv
+        # emitter handles the interleave in-layout, where the previous
+        # einsum formulation materialized an 8.5 ms transpose copy of the
+        # full L1 activation (xplane copy.123, batch 128). Bit-equal on
+        # f32 (same MXU f32 accumulation); 16.6 -> 9.2 ms at L1 geometry.
+        k = jnp.transpose(kernel, (1, 2, 3, 4, 0, 5)).reshape(
+            2, 2, 2, cin, self.members * self.features)
+        k = k[::-1, ::-1, ::-1].astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k, window_strides=(1, 1, 1),
+            padding=[(1, 1)] * 3, lhs_dilation=(2, 2, 2),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            feature_group_count=self.members)
         return y + bias.astype(self.dtype).reshape(-1)
 
 
