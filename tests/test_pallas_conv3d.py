@@ -96,28 +96,35 @@ def test_banded_weights_structure():
 
 def test_choose_tiling_bounds():
     budget = 13 * 2 ** 20
-    for itemsize in (2, 4):
-        for cin in (8, 16, 32):
-            for cout, d, h in [(8, 64, 64), (16, 32, 32), (32, 16, 16),
-                               (64, 8, 8), (128, 4, 4)]:
-                chosen = choose_tiling(cout, d, h, cin, itemsize)
-                if chosen is None:
-                    # genuinely unfittable (e.g. f32 cin=32 at h=64):
-                    # callers fall back to the XLA conv
-                    assert itemsize == 4 and cin == 32 and h == 64
-                    continue
-                qd, qh, sd, nq = chosen
-                assert qd * qh * cout <= 128
-                assert d % qd == 0 and h % qh == 0
-                assert d % sd == 0 and sd % qd == 0
-                assert (h // qh) % nq == 0
-                # the full scoped set must fit the budget
-                k = 3 * (qd + 2) * (qh + 2) * cin
-                scoped = (4 * (sd + 2) * (h + 2) * cin * 128 * itemsize
-                          + 2 * sd * h * cout * 128 * itemsize
-                          + 2 * qd * qh * cout * k * itemsize
-                          + k * nq * 128 * itemsize)
-                assert scoped <= budget, (itemsize, cin, cout, d, scoped)
+    for form, n_bufs, k_div in (("x3", 4, 1), ("outroll", 2, 3)):
+        for itemsize in (2, 4):
+            for cin in (8, 16, 32):
+                for cout, d, h in [(8, 64, 64), (16, 32, 32), (32, 16, 16),
+                                   (64, 8, 8), (128, 4, 4)]:
+                    chosen = choose_tiling(cout, d, h, cin, itemsize,
+                                           form=form)
+                    if chosen is None:
+                        # genuinely unfittable (e.g. f32 cin=32 at h=64
+                        # with the x3 prebuild): callers fall back to
+                        # the XLA conv
+                        assert itemsize == 4 and cin == 32 and h == 64
+                        continue
+                    qd, qh, sd, nq = chosen
+                    assert qd * qh * cout <= 128
+                    assert d % qd == 0 and h % qh == 0
+                    assert d % sd == 0 and sd % qd == 0
+                    assert (h // qh) % nq == 0
+                    # the full scoped set must fit the budget: x3 keeps
+                    # 4 haloed tile buffers + the 3-variant A temp;
+                    # outroll keeps 2 buffers + a single-variant A temp
+                    k = 3 * (qd + 2) * (qh + 2) * cin
+                    scoped = (n_bufs * (sd + 2) * (h + 2) * cin * 128
+                              * itemsize
+                              + 2 * sd * h * cout * 128 * itemsize
+                              + 2 * qd * qh * cout * k * itemsize
+                              + (k // k_div) * nq * 128 * itemsize)
+                    assert scoped <= budget, (form, itemsize, cin, cout,
+                                              d, scoped)
 
 
 def test_grouped_forward_matches_flax_ensemble():

@@ -130,14 +130,25 @@ def banded_bias(bias: jnp.ndarray, groups: int, qd: int, qh: int,
 # ---------------------------------------------------------------------------
 
 def choose_tiling(cout: int, d: int, h: int, cin: int = 8,
-                  itemsize: int = 2) -> Tuple[int, int, int, int]:
+                  itemsize: int = 2,
+                  form: str = "outroll") -> Tuple[int, int, int, int]:
     """Pick (qd, qh, sd, nq): output block qd x qh with N = qd*qh*cout
-    <= 128 (square-ish minimizes band waste (qd+2)(qh+2)/(qd*qh)), the D
-    superblock sd, and the lane-batch nq — such that the cell's SCOPED
-    VMEM (double-buffered haloed x tiles + kw-roll variants + output
-    block + banded weights + the in-kernel A-matrix temporary) fits the
-    16M scoped-vmem limit with margin. The A temporary dominates at
-    large nq/f32 — the r2 demo OOM came from budgeting activations only.
+    <= 128, the D superblock sd, and the lane-batch nq — such that the
+    cell's SCOPED VMEM (double-buffered haloed x tiles [+ kw-roll
+    variants for form="x3"] + output block + banded weights + the
+    in-kernel A-matrix temporary) fits the 16M scoped-vmem limit with
+    margin. The A temporary dominates at large nq/f32 — the r2 demo OOM
+    came from budgeting activations only.
+
+    Form-specific empirics (v5e, L1/L2 geometries, chained-scan):
+    - "x3" favours square-ish blocks (least band waste
+      (qd+2)(qh+2)/(qd*qh)): (4,4) measured 18.25 ms vs (2,4) untested
+      ceiling at the L1 cin-8 conv.
+    - "outroll" favours qd=2 blocks: the A build (the kernel's compute
+      overhang over its own DMA floor) shrinks with ksub, and (2,4)
+      beat (4,4) at BOTH cin 8 (16.8 vs 20.9 ms) and cin 16 (22.2 vs
+      31.7 ms) despite the worse nominal band waste. It also needs no
+      x3 scratch, freeing VMEM for sd=8..16 (less d-halo re-read).
     """
     budget = 13 * 2 ** 20
     target = max(1, LANES // cout)
@@ -153,8 +164,16 @@ def choose_tiling(cout: int, d: int, h: int, cin: int = 8,
             if h % qh or qd * qh > target:
                 continue
             candidates.append((qd, qh))
-    # biggest N first, then least band waste
-    candidates.sort(key=lambda q: (-q[0] * q[1], waste(*q)))
+    if form == "outroll":
+        # qd=2 first (measured; see docstring), then biggest N, least
+        # waste
+        candidates.sort(key=lambda q: (q[0] != 2, -q[0] * q[1],
+                                       waste(*q)))
+    else:
+        # biggest N first, then least band waste
+        candidates.sort(key=lambda q: (-q[0] * q[1], waste(*q)))
+    n_bufs = 4 if form == "x3" else 2
+    k_div = 1 if form == "x3" else 3
 
     def plan(qd, qh):
         k = 3 * (qd + 2) * (qh + 2) * cin
@@ -162,22 +181,27 @@ def choose_tiling(cout: int, d: int, h: int, cin: int = 8,
         n_hblk = h // qh
 
         def fixed_bytes(sd_):
-            x_tiles = 4 * (sd_ + 2) * (h + 2) * cin * LANES * itemsize
+            x_tiles = n_bufs * (sd_ + 2) * (h + 2) * cin * LANES * itemsize
             out_blocks = 2 * sd_ * h * cout * LANES * itemsize
             weights = 2 * n * k * itemsize
             return x_tiles + out_blocks + weights
 
+        # outroll's A temporary is 3x smaller, so more of the budget can
+        # go to the x tiles (bigger sd = less d-halo re-read: the (sd+2)
+        # rows per sd-step read (sd+2)/sd of the input)
+        fixed_cap = budget // 2 if form == "x3" else (3 * budget) // 4
         sd = d
-        while sd > qd and (d % sd or fixed_bytes(sd) > budget // 2):
+        while sd > qd and (d % sd or fixed_bytes(sd) > fixed_cap):
             sd -= qd
         if d % sd:
             sd = qd
         nq = 1
         for q in (16, 8, 4, 2, 1):
-            if n_hblk % q == 0 and                     k * q * LANES * itemsize <= budget - fixed_bytes(sd):
+            if n_hblk % q == 0 and (k // k_div) * q * LANES * itemsize \
+                    <= budget - fixed_bytes(sd):
                 nq = q
                 break
-        return sd, nq, fixed_bytes(sd) + k * nq * LANES * itemsize
+        return sd, nq, fixed_bytes(sd) + (k // k_div) * nq * LANES * itemsize
 
     for qd, qh in candidates:
         sd, nq, total = plan(qd, qh)
@@ -192,7 +216,8 @@ def choose_tiling(cout: int, d: int, h: int, cin: int = 8,
 
 def _conv_kernel(*refs, cin_parts, cout, qd: int, qh: int, sd: int,
                  nq: int, h: int, d_total: int, w_item: int, out_dtype,
-                 activation: str, has_prologue: bool, emit_stats: bool):
+                 activation: str, has_prologue: bool, emit_stats: bool,
+                 form: str = "x3"):
     """Banded-GEMM grouped conv cell with fused prologue/epilogue.
 
     - inputs arrive UNPADDED; (d, h) halos are assembled by boundary-aware
@@ -219,7 +244,11 @@ def _conv_kernel(*refs, cin_parts, cout, qd: int, qh: int, sd: int,
     out_ref = refs[ri]; ri += 1
     if emit_stats:
         sum_ref = refs[ri]; sq_ref = refs[ri + 1]; ri += 2
-    raw_vmem = refs[ri]; x3_vmem = refs[ri + 1]; sem = refs[ri + 2]
+    raw_vmem = refs[ri]; ri += 1
+    x3_vmem = None
+    if form == "x3":
+        x3_vmem = refs[ri]; ri += 1
+    sem = refs[ri]
 
     ib = pl.program_id(0)
     g = pl.program_id(1)
@@ -337,16 +366,20 @@ def _conv_kernel(*refs, cin_parts, cout, qd: int, qh: int, sd: int,
         packed = pltpu.bitcast(v, jnp.int32)
         return pltpu.bitcast(pltpu.roll(packed, shift, axis=1), v.dtype)
 
-    # hoist the kw lane-shifts: build the 3 shifted/masked tile variants
-    # ONCE per cell so the per-GEMM A build is pure slices + concat.
-    # Item-boundary masks realize the SAME-padding zeros.
-    raw = raw_vmem[slot].reshape(rows, LANES)
-    lane_w = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1) % w_item
-    zero = jnp.zeros_like(raw)
-    x3_vmem[0] = jnp.where(lane_w != 0, lane_roll(raw, 1),
-                           zero).reshape(x3_vmem.shape[1:])
-    x3_vmem[1] = jnp.where(lane_w != w_item - 1, lane_roll(raw, LANES - 1),
-                           zero).reshape(x3_vmem.shape[1:])
+    if form == "x3":
+        # hoist the kw lane-shifts: build the 3 shifted/masked tile
+        # variants ONCE per cell so the per-GEMM A build is pure
+        # slices + concat. Item-boundary masks realize the SAME-padding
+        # zeros.
+        raw = raw_vmem[slot].reshape(rows, LANES)
+        lane_w = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES),
+                                          1) % w_item
+        zero = jnp.zeros_like(raw)
+        x3_vmem[0] = jnp.where(lane_w != 0, lane_roll(raw, 1),
+                               zero).reshape(x3_vmem.shape[1:])
+        x3_vmem[1] = jnp.where(lane_w != w_item - 1,
+                               lane_roll(raw, LANES - 1),
+                               zero).reshape(x3_vmem.shape[1:])
 
     # lane-batch nq output blocks per dot (chosen by choose_tiling
     # against the scoped-VMEM budget): a lone (128, K)@(K, 128) GEMM
@@ -363,6 +396,49 @@ def _conv_kernel(*refs, cin_parts, cout, qd: int, qh: int, sd: int,
             return buf[kw_idx, pl.ds(d0, qd + 2),
                        pl.ds(h0 + q * qh, qh + 2), :, :].reshape(ksub,
                                                                  LANES)
+
+        if form == "outroll":
+            # single-variant A (K = ksub, 3x smaller build) + 3
+            # accumulating dots; the kw=0/2 lane shifts move to the f32
+            # OUTPUT blocks (lane rolls commute with the K-contraction,
+            # and masking the roll's wrap lanes realizes the same
+            # item-boundary SAME-padding zeros as the x3 prebuild). The
+            # in-kernel ablation (L1 geometry, batch 128) measured
+            # 18.25 -> 16.8 ms: the A-build VMEM traffic is the banded
+            # kernel's compute overhang over its own DMA floor.
+            a_mat = jnp.concatenate([piece(raw_vmem, slot, q)
+                                     for q in range(nq)], axis=1)
+            pr = [jax.lax.dot_general(
+                bw[:, kw * ksub:(kw + 1) * ksub], a_mat,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) for kw in range(3)]
+            n_rows = qd * qh * cout
+            lw = jax.lax.broadcasted_iota(
+                jnp.int32, (n_rows, LANES), 1) % w_item
+            zblk = jnp.zeros((n_rows, LANES), jnp.float32)
+            for q in range(nq):
+                p0 = pr[0][:, q * LANES:(q + 1) * LANES]
+                p1 = pr[1][:, q * LANES:(q + 1) * LANES]
+                p2 = pr[2][:, q * LANES:(q + 1) * LANES]
+                out = (p1
+                       + jnp.where(lw != 0, pltpu.roll(p0, 1, axis=1),
+                                   zblk)
+                       + jnp.where(lw != w_item - 1,
+                                   pltpu.roll(p2, LANES - 1, axis=1),
+                                   zblk) + bb)
+                if emit_stats:
+                    blk_f = out.reshape(qd, qh, cout, LANES)
+                    acc_s = acc_s + jnp.sum(blk_f, axis=(0, 1))
+                    acc_q = acc_q + jnp.sum(blk_f * blk_f, axis=(0, 1))
+                if activation == "leaky":
+                    out = jnp.where(out > 0, out, 0.01 * out)
+                elif activation == "relu":
+                    out = jnp.maximum(out, 0.0)
+                ob = out.astype(out_dtype).reshape(qd, qh, cout, LANES)
+                for dd in range(qd):
+                    out_ref[0, d0 + dd, pl.ds(h0 + q * qh, qh),
+                            :, :] = ob[dd]
+            return acc_s, acc_q
 
         a_mat = jnp.concatenate([
             jnp.concatenate([
@@ -425,6 +501,7 @@ def conv3d_banded_packed(x: jnp.ndarray, kernel: jnp.ndarray,
                          tiling: Optional[Tuple[int, int, int]] = None,
                          activation: str = "none",
                          emit_stats: bool = False,
+                         form: str = "outroll",
                          interpret: bool = False):
     """Grouped 3x3x3 SAME conv over batch-packed NDHCW activations.
 
@@ -501,7 +578,7 @@ def conv3d_banded_packed(x: jnp.ndarray, kernel: jnp.ndarray,
                       if (h // qh) % q == 0
                       and k3 * q * LANES * x.dtype.itemsize <= 8 * 2 ** 20)
     else:
-        chosen = choose_tiling(cout, d, h, cin, x.dtype.itemsize)
+        chosen = choose_tiling(cout, d, h, cin, x.dtype.itemsize, form=form)
         if chosen is None:
             raise ValueError(
                 f"no VMEM-fitting banded tiling for cin={cin} "
@@ -560,19 +637,20 @@ def conv3d_banded_packed(x: jnp.ndarray, kernel: jnp.ndarray,
         _conv_kernel, cin_parts=cin_parts, cout=cout, qd=qd, qh=qh, sd=sd,
         nq=nq, h=h, d_total=d, w_item=w_item, out_dtype=x.dtype,
         activation=activation, has_prologue=has_prologue,
-        emit_stats=emit_stats)
+        emit_stats=emit_stats, form=form)
 
+    scratch = [pltpu.VMEM((2, sd + 2, h + 2, cin, LANES), x.dtype)]  # raw
+    if form == "x3":
+        scratch.append(
+            pltpu.VMEM((2, sd + 2, h + 2, cin, LANES), x.dtype))  # kw 0/2
+    scratch.append(pltpu.SemaphoreType.DMA((2, len(cin_parts))))
     result = pl.pallas_call(
         kernel_fn,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs if emit_stats else out_specs[0],
         out_shape=out_shapes if emit_stats else out_shapes[0],
-        scratch_shapes=[
-            pltpu.VMEM((2, sd + 2, h + 2, cin, LANES), x.dtype),  # raw x2
-            pltpu.VMEM((2, sd + 2, h + 2, cin, LANES), x.dtype),  # kw 0/2
-            pltpu.SemaphoreType.DMA((2, len(cin_parts))),
-        ],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             # one (N,K)@(K,128) GEMM per output block
             flops=2 * n * k * LANES * (nb * groups * (d // qd) * (h // qh)),
