@@ -115,14 +115,24 @@ def test_choose_tiling_bounds():
                     assert d % sd == 0 and sd % qd == 0
                     assert (h // qh) % nq == 0
                     # the full scoped set must fit the budget: x3 keeps
-                    # 4 haloed tile buffers + the 3-variant A temp;
-                    # outroll keeps 2 buffers + a single-variant A temp
+                    # 4 haloed tile buffers + the 3-variant A temp + one
+                    # f32 dot output; outroll keeps 2 buffers + a
+                    # single-variant A temp + THREE f32 product blocks
+                    # padded dims: VMEM tiles round the second-minor dim
+                    # up to the sublane multiple (16 bf16 / 8 f32) and
+                    # the minor dim up to 128 lanes
+                    sub = 16 if itemsize == 2 else 8
+                    spad = lambda c: -(-c // sub) * sub
+                    lpad = lambda c: -(-c // 128) * 128
                     k = 3 * (qd + 2) * (qh + 2) * cin
-                    scoped = (n_bufs * (sd + 2) * (h + 2) * cin * 128
+                    n = qd * qh * cout
+                    n_dots = 1 if form == "x3" else 3
+                    scoped = (n_bufs * (sd + 2) * (h + 2) * spad(cin) * 128
                               * itemsize
-                              + 2 * sd * h * cout * 128 * itemsize
-                              + 2 * qd * qh * cout * k * itemsize
-                              + (k // k_div) * nq * 128 * itemsize)
+                              + 2 * sd * h * spad(cout) * 128 * itemsize
+                              + 2 * spad(n) * lpad(k) * itemsize
+                              + spad(k // k_div) * nq * 128 * itemsize
+                              + n_dots * spad(n) * nq * 128 * 4)
                     assert scoped <= budget, (form, itemsize, cin, cout,
                                               d, scoped)
 

@@ -175,15 +175,29 @@ def choose_tiling(cout: int, d: int, h: int, cin: int = 8,
     n_bufs = 4 if form == "x3" else 2
     k_div = 1 if form == "x3" else 3
 
+    # VMEM tiles pad the second-minor dim to the sublane multiple (16
+    # for bf16's T(8,128)(2,1) packing, 8 for f32) and the minor dim to
+    # 128 lanes. cin/cout sit second-minor in the x/out tiles, so cin=8
+    # bf16 occupies DOUBLE its nominal bytes — omitting this caused a
+    # real-chip scoped-vmem OOM (16.28M/16M) at the batch-128 L1 conv.
+    sub = 16 if itemsize == 2 else 8
+
+    def spad(c):
+        return -(-c // sub) * sub
+
+    def lpad(c):
+        return -(-c // LANES) * LANES
+
     def plan(qd, qh):
         k = 3 * (qd + 2) * (qh + 2) * cin
         n = qd * qh * cout
         n_hblk = h // qh
 
         def fixed_bytes(sd_):
-            x_tiles = n_bufs * (sd_ + 2) * (h + 2) * cin * LANES * itemsize
-            out_blocks = 2 * sd_ * h * cout * LANES * itemsize
-            weights = 2 * n * k * itemsize
+            x_tiles = (n_bufs * (sd_ + 2) * (h + 2) * spad(cin)
+                       * LANES * itemsize)
+            out_blocks = 2 * sd_ * h * spad(cout) * LANES * itemsize
+            weights = 2 * spad(n) * lpad(k) * itemsize
             return x_tiles + out_blocks + weights
 
         # outroll's A temporary is 3x smaller, so more of the budget can
@@ -195,13 +209,24 @@ def choose_tiling(cout: int, d: int, h: int, cin: int = 8,
             sd -= qd
         if d % sd:
             sd = qd
+        # per-dot live temporaries: the A matrix (K x nq*LANES) plus the
+        # f32 product blocks before accumulation — x3 keeps one
+        # (N x nq*LANES) dot output, outroll keeps THREE (one per kw
+        # band). Omitting the product blocks from the budget caused a
+        # real-chip scoped-vmem OOM (16.28M/16M) at the batch-128 L1
+        # stats conv.
+        n_dots = 1 if form == "x3" else 3
+
+        def dot_bytes(q):
+            return (spad(k // k_div) * q * LANES * itemsize
+                    + n_dots * spad(n) * q * LANES * 4)
+
         nq = 1
         for q in (16, 8, 4, 2, 1):
-            if n_hblk % q == 0 and (k // k_div) * q * LANES * itemsize \
-                    <= budget - fixed_bytes(sd):
+            if n_hblk % q == 0 and dot_bytes(q) <= budget - fixed_bytes(sd):
                 nq = q
                 break
-        return sd, nq, fixed_bytes(sd) + (k // k_div) * nq * LANES * itemsize
+        return sd, nq, fixed_bytes(sd) + dot_bytes(nq)
 
     for qd, qh in candidates:
         sd, nq, total = plan(qd, qh)
