@@ -370,24 +370,33 @@ def main() -> None:
     volumes_per_sec = xla_vps
 
     # fully-packed pipeline (packed forward + packed C2/C3 consumers, no
-    # unpack transposes): same pools, same protocol
-    _pstep, run_pool_packed, stacked_p = build_workload_packed()
-    for _ in range(WARMUP_BATCHES):
-        outp = run_pool_packed(stacked_p, vol_pool, gt_pool, rng,
-                               repeats=REPEATS)
-        np.asarray(outp)
-    best_packed = float("inf")
-    for _ in range(n_dispatches):
-        t0 = time.perf_counter()
-        outp = run_pool_packed(stacked_p, vol_pool, gt_pool, rng,
-                               repeats=REPEATS)
-        packed_scores = np.asarray(outp)
-        best_packed = min(best_packed, time.perf_counter() - t0)
-    assert packed_scores.shape == (K_POOL * REPEATS, 10, BATCH)
-    assert np.all(np.isfinite(packed_scores))
-    packed_vps = per_dispatch_volumes / best_packed
-    if packed_vps > volumes_per_sec:
-        volumes_per_sec, best = packed_vps, best_packed
+    # unpack transposes): same pools, same protocol. Guarded: a Mosaic
+    # compile failure on one kernel variant must not cost the whole
+    # benchmark (the driver runs this unattended) — the XLA pipeline
+    # number above stands on its own.
+    packed_vps = 0.0
+    try:
+        _pstep, run_pool_packed, stacked_p = build_workload_packed()
+        for _ in range(WARMUP_BATCHES):
+            outp = run_pool_packed(stacked_p, vol_pool, gt_pool, rng,
+                                   repeats=REPEATS)
+            np.asarray(outp)
+        best_packed = float("inf")
+        for _ in range(n_dispatches):
+            t0 = time.perf_counter()
+            outp = run_pool_packed(stacked_p, vol_pool, gt_pool, rng,
+                                   repeats=REPEATS)
+            packed_scores = np.asarray(outp)
+            best_packed = min(best_packed, time.perf_counter() - t0)
+        assert packed_scores.shape == (K_POOL * REPEATS, 10, BATCH)
+        assert np.all(np.isfinite(packed_scores))
+        packed_vps = per_dispatch_volumes / best_packed
+        if packed_vps > volumes_per_sec:
+            volumes_per_sec, best = packed_vps, best_packed
+    except Exception as exc:  # pragma: no cover - defensive bench path
+        import sys
+        print(f"packed pipeline skipped: {type(exc).__name__}: {exc}",
+              file=sys.stderr)
 
     # end-to-end variant: every batch uploaded from HOST memory before its
     # step (device_put + step + scalar fetch per batch). In this container
@@ -408,9 +417,20 @@ def main() -> None:
 
     mfu = volumes_per_sec * USEFUL_FLOPS_PER_VOLUME / PEAK_BF16
     ref_cpu = measure_reference_torch_cpu()
-    small_pallas = measure_small_batch_forward("pallas")
-    small_xla = measure_small_batch_forward("xla")
-    train_packed = measure_train_step("packed")
+
+    def guarded(fn, *args, fallback=0.0, **kw):
+        # a failure in one auxiliary measure must not cost the headline
+        try:
+            return fn(*args, **kw)
+        except Exception as exc:  # pragma: no cover - defensive bench
+            import sys
+            print(f"{fn.__name__}{args} skipped: "
+                  f"{type(exc).__name__}: {exc}", file=sys.stderr)
+            return fallback
+
+    small_pallas = guarded(measure_small_batch_forward, "pallas")
+    small_xla = guarded(measure_small_batch_forward, "xla")
+    train_packed = guarded(measure_train_step, "packed", fallback={})
     print(json.dumps({
         "metric": "lidc_ensemble5_entropy_inference_throughput",
         "value": round(volumes_per_sec, 2),
