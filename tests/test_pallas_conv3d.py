@@ -67,6 +67,28 @@ def test_explicit_tiling_override():
                                    atol=1e-4, err_msg=str(tiling))
 
 
+def test_forms_agree_with_lax_conv():
+    """Both kernel forms (x3 prebuild / outroll) reproduce lax.conv —
+    the production default is outroll, x3 stays selectable."""
+    from values_tpu.ops.pallas.conv3d import (conv3d_banded_packed,
+                                              pack_ndhwc, unpack_ndhwc)
+    B, D, H, W, G, cin, cout = 2, 8, 8, 8, 2, 8, 8
+    x = jnp.asarray(rs.randn(B, D, H, W, G * cin), dtype=jnp.float32)
+    k = jnp.asarray(rs.randn(3, 3, 3, cin, G * cout) * 0.2,
+                    dtype=jnp.float32)
+    bias = jnp.asarray(rs.randn(G * cout), dtype=jnp.float32)
+    ref = _ref_conv(x, k, bias, G)
+    bp = 128 // W
+    pad_b = (-B) % bp
+    xp = pack_ndhwc(jnp.concatenate(
+        [x, jnp.zeros((pad_b,) + x.shape[1:], x.dtype)]), bp)
+    for form in ("outroll", "x3"):
+        got = unpack_ndhwc(conv3d_banded_packed(
+            xp, k, bias, G, w_item=W, form=form, interpret=True), bp)[:B]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4, err_msg=form)
+
+
 def test_banded_weights_structure():
     """Band rows reproduce the kernel taps in (kw, rd, rh, ci) column
     order; outside the band is zero."""
