@@ -48,6 +48,7 @@ where the reference spends its time (test_3D.py:399-483).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -131,7 +132,7 @@ def banded_bias(bias: jnp.ndarray, groups: int, qd: int, qh: int,
 
 def choose_tiling(cout: int, d: int, h: int, cin: int = 8,
                   itemsize: int = 2,
-                  form: str = "outroll") -> Tuple[int, int, int, int]:
+                  form: Optional[str] = None) -> Tuple[int, int, int, int]:
     """Pick (qd, qh, sd, nq): output block qd x qh with N = qd*qh*cout
     <= 128, the D superblock sd, and the lane-batch nq — such that the
     cell's SCOPED VMEM (double-buffered haloed x tiles [+ kw-roll
@@ -150,6 +151,8 @@ def choose_tiling(cout: int, d: int, h: int, cin: int = 8,
       31.7 ms) despite the worse nominal band waste. It also needs no
       x3 scratch, freeing VMEM for sd=8..16 (less d-halo re-read).
     """
+    if form is None:
+        form = os.environ.get("VALUES_TPU_BANDED_FORM", "outroll")
     budget = 13 * 2 ** 20
     target = max(1, LANES // cout)
 
@@ -526,7 +529,7 @@ def conv3d_banded_packed(x: jnp.ndarray, kernel: jnp.ndarray,
                          tiling: Optional[Tuple[int, int, int]] = None,
                          activation: str = "none",
                          emit_stats: bool = False,
-                         form: str = "outroll",
+                         form: Optional[str] = None,
                          interpret: bool = False):
     """Grouped 3x3x3 SAME conv over batch-packed NDHCW activations.
 
@@ -550,6 +553,9 @@ def conv3d_banded_packed(x: jnp.ndarray, kernel: jnp.ndarray,
 
     Returns out, or (out, (sum, sumsq)) with emit_stats.
     """
+    if form is None:
+        # A/B hook for the kernel-form benchmarks (scripts/bench_convs.py)
+        form = os.environ.get("VALUES_TPU_BANDED_FORM", "outroll")
     nb, d, h, gc1, lanes = x.shape
     assert lanes == LANES, f"packed lane dim must be {LANES}, got {lanes}"
     cin1 = gc1 // groups
