@@ -318,3 +318,115 @@ def test_grouped_forward_non_cubic_matches_flax(rng):
     got, _ = pred(stacked, x, jax.random.PRNGKey(1))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref_probs),
                                atol=2e-4, rtol=2e-4)
+
+
+# -- deep-level lane refill (fold-with-halos) ---------------------------------
+
+def test_fold_unfold_roundtrip():
+    from values_tpu.ops.pallas.conv3d import fold_halo, unfold_halo
+    x = jnp.asarray(rs.randn(1, 8, 8, 16, 32), dtype=jnp.float32)
+    for f, axis in ((4, 2), (2, 2), (2, 1), (4, 1)):
+        y = fold_halo(x, f, axis)
+        n = x.shape[axis]
+        assert y.shape[axis] == n // f + 2 and y.shape[-1] == 32 * f
+        np.testing.assert_array_equal(np.asarray(unfold_halo(y, f, axis)),
+                                      np.asarray(x))
+
+
+@pytest.mark.parametrize("geom", [
+    # (B, D, H, W, G, cin, cout): lanes = (B*W) < 128 deep-level shapes
+    (4, 8, 8, 8, 2, 8, 8),     # lanes 32, fold H by 4
+    (8, 8, 8, 8, 2, 8, 16),    # lanes 64, fold H by 2
+    (4, 8, 2, 8, 2, 8, 8),     # H not divisible by 4 -> folds D
+])
+def test_fold_deep_conv_matches_lax(geom, monkeypatch):
+    """_conv's lane-refill branch (fold slabs with real halos into the
+    lanes, trim the halo outputs) is exact vs lax.conv."""
+    from values_tpu.models.ensemble_unet3d_pallas import _conv
+    B, D, H, W, G, cin, cout = geom
+    x = jnp.asarray(rs.randn(B, D, H, W, G * cin), dtype=jnp.float32)
+    k = jnp.asarray(rs.randn(3, 3, 3, cin, G * cout) * 0.2,
+                    dtype=jnp.float32)
+    bias = jnp.asarray(rs.randn(G * cout), dtype=jnp.float32)
+    ref = _ref_conv(x, k, bias, G)
+    bp = B  # all items in one pack => lanes = B*W < 128
+    xp = pack_ndhwc(x, bp)
+    assert xp.shape[-1] < 128
+    monkeypatch.setenv("VALUES_TPU_FOLD_DEEP", "1")
+    got = unpack_ndhwc(_conv(xp, {"kernel": k, "bias": bias}, G, W, bp,
+                             interpret=True), bp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+    # activation epilogue rides the folded kernel too
+    got_act = unpack_ndhwc(_conv(xp, {"kernel": k, "bias": bias}, G, W, bp,
+                                 activation="leaky", interpret=True), bp)
+    np.testing.assert_allclose(np.asarray(got_act),
+                               np.asarray(jax.nn.leaky_relu(ref, 0.01)),
+                               atol=1e-4)
+
+
+def test_fold_deep_conv_grad_matches_lax(monkeypatch):
+    """The AD (training) path through the fold: dx/dk/db match lax.conv
+    gradients exactly — halo-row cotangents are zero and the fold's
+    transpose re-accumulates overlapping slab contributions."""
+    from values_tpu.models.ensemble_unet3d_pallas import _conv
+    B, D, H, W, G, cin, cout = 4, 8, 8, 8, 2, 8, 8
+    x = jnp.asarray(rs.randn(B, D, H, W, G * cin), dtype=jnp.float32)
+    k = jnp.asarray(rs.randn(3, 3, 3, cin, G * cout) * 0.2,
+                    dtype=jnp.float32)
+    bias = jnp.asarray(rs.randn(G * cout), dtype=jnp.float32)
+    cot = jnp.asarray(rs.randn(B, D, H, W, G * cout), dtype=jnp.float32)
+    monkeypatch.setenv("VALUES_TPU_FOLD_DEEP", "1")
+    bp = B
+
+    def loss_ref(x, k, b):
+        return jnp.sum(jax.nn.leaky_relu(_ref_conv(x, k, b, G), 0.01) * cot)
+
+    def loss_fold(x, k, b):
+        out = _conv(pack_ndhwc(x, bp), {"kernel": k, "bias": b}, G, W, bp,
+                    activation="leaky", interpret=True, ad=True)
+        return jnp.sum(unpack_ndhwc(out, bp) * cot)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, k, bias)
+    g_got = jax.grad(loss_fold, argnums=(0, 1, 2))(x, k, bias)
+    for a, b, name in zip(g_got, g_ref, ("dx", "dk", "db")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=2e-3, err_msg=name)
+
+
+def test_fold_deep_stats_and_prologue(monkeypatch):
+    """emit_stats through the fold returns PRE-activation (sum, sumsq)
+    over (d, h) with no halo double-counting; prologue maps tile into
+    the folded lanes."""
+    from values_tpu.models.ensemble_unet3d_pallas import _conv
+    B, D, H, W, G, cin, cout = 4, 8, 8, 8, 2, 8, 8
+    x = jnp.asarray(rs.randn(B, D, H, W, G * cin), dtype=jnp.float32)
+    k = jnp.asarray(rs.randn(3, 3, 3, cin, G * cout) * 0.2,
+                    dtype=jnp.float32)
+    bias = jnp.asarray(rs.randn(G * cout), dtype=jnp.float32)
+    bp = B
+    xp = pack_ndhwc(x, bp)
+    lanes = xp.shape[-1]
+    sc = jnp.asarray(1.0 + 0.1 * rs.rand(1, G * cin, lanes),
+                     dtype=jnp.float32)
+    sh = jnp.asarray(0.1 * rs.randn(1, G * cin, lanes), dtype=jnp.float32)
+    sl = jnp.full((1, G * cin, lanes), 0.01, jnp.float32)
+    monkeypatch.setenv("VALUES_TPU_FOLD_DEEP", "1")
+    got, (ssum, ssq) = _conv(xp, {"kernel": k, "bias": bias}, G, W, bp,
+                             prologue=(sc, sh, sl), activation="leaky",
+                             emit_stats=True, interpret=True)
+    # reference: prologue in XLA on the unpacked layout
+    xin = unpack_ndhwc(
+        jnp.maximum(xp * sc[:, None, None] - sh[:, None, None],
+                    (xp * sc[:, None, None] - sh[:, None, None])
+                    * sl[:, None, None]), bp)
+    pre = _ref_conv(xin, k, bias, G)
+    np.testing.assert_allclose(np.asarray(unpack_ndhwc(got, bp)),
+                               np.asarray(jax.nn.leaky_relu(pre, 0.01)),
+                               atol=1e-4)
+    prep = pack_ndhwc(pre, bp).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(ssum),
+                               np.asarray(prep.sum(axis=(1, 2))),
+                               atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(ssq),
+                               np.asarray((prep * prep).sum(axis=(1, 2))),
+                               atol=5e-3, rtol=2e-3)

@@ -19,13 +19,15 @@ training keeps the flax module whose backward XLA fuses.
 """
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 
 from ..ops.pallas.conv3d import (LANES, conv3d_banded_packed,
-                                 conv3d_banded_packed_ad, pack_ndhwc,
+                                 conv3d_banded_packed_ad, fold_halo,
+                                 unfold_halo, pack_ndhwc,
                                  unpack_ndhwc)
 
 
@@ -308,6 +310,53 @@ def _conv(x, params, groups, w_item, bp, *, activation="none",
                                     activation=activation,
                                     emit_stats=emit_stats,
                                     interpret=interpret)
+    # ---- deep-level lane refill (ROADMAP "lane-refill at deep levels"):
+    # when the batch has run out of pack pairs (bp*W < 128 at deep UNet
+    # levels), fold H (or D) slabs WITH real 1-row halos into the lanes
+    # and recurse — the banded kernel then keeps all 128 lanes at every
+    # level; the 2 garbage halo output rows per slab are trimmed by
+    # unfold_halo, everything else is exact (tests/test_pallas_conv3d.py).
+    # Costs (hs+2)/hs extra rows of compute; measured on-chip via
+    # VALUES_TPU_FOLD_DEEP=0 A/B in scripts/bench_convs.py.
+    if (lanes < LANES and LANES % lanes == 0
+            and kernel.shape[0] == 3
+            and (kernel.shape[4] // groups) % 8 == 0
+            and os.environ.get("VALUES_TPU_FOLD_DEEP", "1") != "0"):
+        fold = LANES // lanes
+        axis = 2 if h % fold == 0 else (1 if d % fold == 0 else 0)
+        if axis:
+            df, hf = (d, h // fold + 2) if axis == 2 else (d // fold + 2, h)
+            if _choose_tiling(kernel.shape[4] // groups, df, hf, _cin_tot,
+                              x.dtype.itemsize) is not None:
+                if prologue is not None:
+                    # the prologue must run BEFORE folding: the volume-
+                    # edge halo rows are materialized SAME-pad zeros, and
+                    # an in-kernel prologue would turn them into -shift
+                    sc, shf, sl = prologue
+                    xc = (x if x2 is None
+                          else _concat_members(x, x2, groups))
+                    v = (xc.astype(jnp.float32) * sc[:, None, None]
+                         - shf[:, None, None])
+                    x = jnp.maximum(v, v * sl[:, None, None]).astype(
+                        x.dtype)
+                    x2 = None
+                elif x2 is not None:
+                    x = _concat_members(x, x2, groups)
+                    x2 = None
+                xf = fold_halo(x, fold, axis)
+                # stats must be PRE-activation sums; with stats requested
+                # the activation moves outside the recursion
+                act_in = "none" if emit_stats else activation
+                outf = _conv(xf, params, groups, w_item, bp * fold,
+                             activation=act_in,
+                             interpret=interpret, ad=ad)
+                out = unfold_halo(outf, fold, axis)
+                if not emit_stats:
+                    return out
+                pre = out.astype(jnp.float32)
+                return (_apply_act(out, activation),
+                        (jnp.sum(pre, axis=(1, 2)),
+                         jnp.sum(pre * pre, axis=(1, 2))))
     # ---- XLA fallback (lanes < 128), fusions emulated -------------------
     if prologue is not None:
         sc, sh, sl = prologue

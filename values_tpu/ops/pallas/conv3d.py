@@ -83,6 +83,43 @@ def unpack_ndhwc(xp: jnp.ndarray, bp: int) -> jnp.ndarray:
     return xp.reshape(nb * bp, d, h, w, c)
 
 
+def fold_halo(x: jnp.ndarray, f: int, axis: int) -> jnp.ndarray:
+    """Fold a spatial dim (axis 1 = D, 2 = H) into the packed lane dim
+    with 1-voxel halos: (nb, D, H, C, L) -> lanes f*L, the folded dim
+    split into f slabs of n/f rows plus one REAL neighbor row on each
+    side (zero at the volume edge — exactly the conv's SAME padding).
+
+    A 3x3x3 SAME conv on the folded tensor then computes exact interior
+    outputs: the kernel zero-pads each slab's local edge, which only
+    feeds the 2 halo output rows per slab that :func:`unfold_halo`
+    drops. This refills the 128 lanes at deep UNet levels where the
+    batch has run out of pack pairs (bp*W < 128), at the cost of
+    (n/f + 2)/(n/f) extra rows of compute."""
+    n = x.shape[axis]
+    assert n % f == 0 and f >= 2, (n, f)
+    hs = n // f
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (1, 1)
+    xp = jnp.pad(x, pad)
+    slabs = [jax.lax.slice_in_dim(xp, s * hs, s * hs + hs + 2, axis=axis)
+             for s in range(f)]
+    y = jnp.stack(slabs, axis=-2)          # (..., hs+2, ..., C, f, L)
+    return y.reshape(y.shape[:-2] + (f * y.shape[-1],))
+
+
+def unfold_halo(y: jnp.ndarray, f: int, axis: int) -> jnp.ndarray:
+    """Inverse of :func:`fold_halo` on a conv OUTPUT: drop each slab's 2
+    halo rows and splice the slabs back along `axis`."""
+    lead, lanes = y.shape[:-1], y.shape[-1]
+    y = y.reshape(lead + (f, lanes // f))
+    hs2 = y.shape[axis]
+    y = jax.lax.slice_in_dim(y, 1, hs2 - 1, axis=axis)
+    y = jnp.moveaxis(y, -2, axis)          # (..., f, hs, ..., C, L)
+    sh = list(y.shape)
+    sh[axis:axis + 2] = [sh[axis] * sh[axis + 1]]
+    return y.reshape(sh)
+
+
 # ---------------------------------------------------------------------------
 # Banded weight construction (XLA side, tiny)
 # ---------------------------------------------------------------------------
