@@ -115,41 +115,22 @@ def build_workload_packed():
     """The same per-volume pipeline with EVERYTHING in the batch-packed
     lane layout (VERDICT r2 item 2): packed forward -> packed softmax +
     PE/EE/MI -> packed Dice -> packed C3 aggregations. No unpack
-    transposes anywhere — only the (10, B) scalars leave the layout."""
+    transposes anywhere — only the (10, B) scalars leave the layout.
+    This is the production `values_tpu.inference.scoring` API."""
     import jax
     import jax.numpy as jnp
+    from values_tpu.inference.scoring import make_packed_scorer
     from values_tpu.models.ensemble_unet3d import group_member_variables
-    from values_tpu.models.ensemble_unet3d_pallas import (
-        grouped_forward_packed)
     from values_tpu.models.unet3d import UNet3D
-    from values_tpu.ops import packed_stats
-    from values_tpu.ops.pallas.conv3d import LANES, pack_ndhwc
 
     base = UNet3D(num_classes=2, initial_filter_size=8)
     init = jax.jit(base.init)
     keys = jax.random.split(jax.random.PRNGKey(0), N_MEMBERS)
     stacked = group_member_variables(
         [init(k, jnp.zeros((1, PATCH, PATCH, PATCH, 1))) for k in keys])
-    bp = LANES // PATCH
-
-    @jax.jit
-    def step(stacked_variables, volumes, gt, rng):
-        del rng
-        gv = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16),
-                                    stacked_variables)
-        xp = pack_ndhwc(volumes.astype(jnp.bfloat16), bp)
-        logits = grouped_forward_packed(gv, xp, N_MEMBERS, PATCH)
-        stats = packed_stats.fused_sample_statistics_packed(logits)
-        seg = jnp.argmax(stats["mean_softmax"], axis=-2).astype(jnp.int32)
-        gtp = packed_stats.pack_labels(gt.astype(jnp.int32), bp)
-        rows = [packed_stats.packed_dice(seg, gtp, bp, ignore_index=0)]
-        for unc in (stats["pred_entropy"], stats["expected_entropy"],
-                    stats["mutual_information"]):
-            agg = packed_stats.packed_aggregate_all(
-                unc, bp, patch=AGG_PATCH, threshold=THRESHOLD)
-            rows.extend([agg["patch_level"], agg["image_level"],
-                         agg["threshold"]])
-        return jnp.stack(rows)  # (10, B)
+    score, _ = make_packed_scorer(N_MEMBERS, PATCH, agg_patch=AGG_PATCH,
+                                  threshold=THRESHOLD)
+    step = jax.jit(score)
 
     import functools
 
