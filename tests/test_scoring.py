@@ -58,3 +58,132 @@ def test_packed_scorer_rejects_bad_patch():
     import pytest
     with pytest.raises(ValueError):
         make_packed_scorer(2, 48)
+
+
+def test_streaming_stats_match_stack():
+    """streaming_update/finalize accumulate exactly what
+    fused_sample_statistics_packed computes on the materialized stack."""
+    from values_tpu.inference.scoring import (streaming_finalize,
+                                              streaming_update)
+    from values_tpu.ops.packed_stats import fused_sample_statistics_packed
+    rs = np.random.RandomState(3)
+    logits = jnp.asarray(rs.randn(2, 4, 4, 5, 3, 128).astype(np.float32))
+    want = fused_sample_statistics_packed(logits)
+    p = jax.nn.softmax(logits.astype(jnp.float32), axis=-2)
+    carry = (jnp.zeros((2, 4, 4, 3, 128), jnp.float32),
+             jnp.zeros((2, 4, 4, 128), jnp.float32))
+    for s in range(5):
+        carry = streaming_update(carry, p[:, :, :, s])
+    got = streaming_finalize(carry, 5)
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got[k]),
+                                   np.asarray(want[k]),
+                                   atol=1e-6, rtol=1e-5, err_msg=k)
+
+
+def test_packed_aleatoric_scorer_matches_composition():
+    """The streaming aleatoric scorer == unpacked composition fed the
+    SAME eps draws (drawn in packed shape, unpacked for the oracle)."""
+    from values_tpu.inference.scoring import make_packed_aleatoric_scorer
+    from values_tpu.models.ensemble_unet3d import EnsembleUNet3D
+    from values_tpu.ops.pallas.conv3d import LANES, unpack_ndhwc
+
+    members, n = 2, 3
+    base = UNet3D(num_classes=2, initial_filter_size=8,
+                  aleatoric_loss=True)
+    keys = jax.random.split(jax.random.PRNGKey(0), members)
+    stacked = group_member_variables(
+        [base.init(k, jnp.zeros((1, PATCH, PATCH, PATCH, 1)))
+         for k in keys])
+    rs = np.random.RandomState(1)
+    vols = jnp.asarray(rs.rand(B, PATCH, PATCH, PATCH, 1)
+                       .astype(np.float32))
+    gt = jnp.asarray((rs.rand(B, PATCH, PATCH, PATCH) > 0.7)
+                     .astype(np.int32))
+    rng = jax.random.PRNGKey(7)
+    bp = LANES // PATCH
+
+    score, _ = make_packed_aleatoric_scorer(
+        members, PATCH, n_aleatoric_samples=n, agg_patch=4,
+        dtype=jnp.float32, interpret=True)
+    got = np.asarray(score(stacked, vols, gt, rng))
+
+    # oracle: flax grouped forward (XLA convs), same eps draws unpacked
+    ens = EnsembleUNet3D(num_classes=2, members=members,
+                         initial_filter_size=8, aleatoric=True)
+    out = ens.apply(stacked, vols)                  # (B, sp, M, 2C)
+    mu, s = jnp.split(out.astype(jnp.float32), 2, axis=-1)
+    sigma = jnp.exp(s / 2.0)
+    nb = B // bp
+    sum_p = jnp.zeros((B, PATCH, PATCH, PATCH, 2), jnp.float32)
+    sum_e = jnp.zeros((B, PATCH, PATCH, PATCH), jnp.float32)
+    for i in range(members * n):
+        m = i // n
+        eps_packed = jax.random.normal(
+            jax.random.fold_in(rng, i),
+            (nb, PATCH, PATCH, 2, LANES), jnp.float32)
+        eps = unpack_ndhwc(eps_packed, bp)          # (B, sp, C)
+        probs = jax.nn.softmax(mu[..., m, :] + sigma[..., m, :] * eps,
+                               axis=-1)
+        sum_p = sum_p + probs
+        plogp = probs * jnp.log(probs)
+        sum_e = sum_e - jnp.sum(jnp.where(jnp.isnan(plogp), 0.0, plogp),
+                                axis=-1)
+    mean_softmax = sum_p / (members * n)
+    plogp = mean_softmax * jnp.log(mean_softmax)
+    pe = -jnp.sum(jnp.where(jnp.isnan(plogp), 0.0, plogp), axis=-1)
+    ee = sum_e / (members * n)
+    seg = jnp.argmax(mean_softmax, axis=-1).astype(jnp.int32)
+    dice = jax.vmap(lambda a, g: dice_from_stats(
+        *dice_stats(a, g, ignore_index=0)))(seg, gt)
+    want = [np.asarray(dice)]
+    for unc in (pe, ee, pe - ee):
+        agg = aggregate_all(unc, patch=4, threshold=0.3)
+        want.extend([np.asarray(agg["patch_level"]),
+                     np.asarray(agg["image_level"]),
+                     np.asarray(agg["threshold"])])
+    np.testing.assert_allclose(got, np.stack(want), atol=5e-3, rtol=5e-3)
+
+
+def test_packed_dropout_scorer_matches_manual_passes():
+    """The dropout scorer == manually accumulating the same packed
+    stochastic passes (bitwise-same masks via the same fold_in keys)."""
+    from values_tpu.inference.scoring import (make_packed_dropout_scorer,
+                                              streaming_finalize,
+                                              streaming_update)
+    from values_tpu.models.ensemble_unet3d_pallas import (
+        grouped_forward_packed)
+    from values_tpu.ops.pallas.conv3d import LANES, pack_ndhwc
+
+    members, n_pred = 1, 3
+    base = UNet3D(num_classes=2, initial_filter_size=8, do_dropout=True)
+    stacked = group_member_variables(
+        [base.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, PATCH, PATCH, PATCH, 1)))])
+    rs = np.random.RandomState(2)
+    vols = jnp.asarray(rs.rand(B, PATCH, PATCH, PATCH, 1)
+                       .astype(np.float32))
+    gt = jnp.asarray((rs.rand(B, PATCH, PATCH, PATCH) > 0.7)
+                     .astype(np.int32))
+    rng = jax.random.PRNGKey(5)
+    bp = LANES // PATCH
+
+    score, _ = make_packed_dropout_scorer(
+        members, PATCH, n_pred=n_pred, agg_patch=4, dtype=jnp.float32,
+        interpret=True)
+    got = np.asarray(score(stacked, vols, gt, rng))
+
+    from values_tpu.inference.scoring import _score_from_stats
+    xp = pack_ndhwc(vols.astype(jnp.float32), bp)
+    carry = (jnp.zeros((B // bp, PATCH, PATCH, 2, LANES), jnp.float32),
+             jnp.zeros((B // bp, PATCH, PATCH, LANES), jnp.float32))
+    for j in range(n_pred):
+        logits = grouped_forward_packed(
+            stacked, xp, members, PATCH, do_dropout=True,
+            rng=jax.random.fold_in(rng, j), interpret=True)
+        p = jax.nn.softmax(logits.astype(jnp.float32), axis=-2)
+        carry = streaming_update(carry, p[:, :, :, 0])
+    stats = streaming_finalize(carry, n_pred)
+    want = np.asarray(_score_from_stats(stats, gt, bp, agg_patch=4,
+                                        threshold=0.3, ignore_index=0))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)

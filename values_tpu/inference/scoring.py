@@ -37,6 +37,54 @@ def score_rows() -> List[str]:
     return ["dice"] + [f"{u}/{a}" for u in UNC_KEYS for a in AGG_KEYS]
 
 
+# -- streaming sample statistics (packed layout) -----------------------------
+#
+# The sampling C1 modes (aleatoric: members x 10 logit samples,
+# MC-dropout: n_pred passes) need S softmax maps. Materializing the
+# (S, ...) stack is what bounds the reference AND the engine's stack
+# contract; for scores-only use the stack is unnecessary: PE depends
+# only on the SUM of softmaxes and EE only on the per-sample entropy
+# sum, so both accumulate one sample at a time with O(1) memory —
+# this is what lets a 50-sample aleatoric ensemble score batch-128
+# pools without holding 50 volumes.
+
+def _guarded_plogp(p):
+    val = p * jnp.log(p)
+    return jnp.where(jnp.isnan(val), 0.0, val)
+
+
+def streaming_update(carry, probs):
+    """Accumulate one (nb, D, H, C, lanes) softmax sample into
+    (sum_softmax, sum_entropy)."""
+    sum_p, sum_ent = carry
+    return (sum_p + probs,
+            sum_ent - jnp.sum(_guarded_plogp(probs), axis=-2))
+
+
+def streaming_finalize(carry, n_samples: int):
+    """(sum_softmax, sum_entropy) -> the fused_sample_statistics_packed
+    dict (identical values to the materialized-stack version)."""
+    sum_p, sum_ent = carry
+    mean_softmax = sum_p / n_samples
+    pe = -jnp.sum(_guarded_plogp(mean_softmax), axis=-2)
+    ee = sum_ent / n_samples
+    return {"mean_softmax": mean_softmax, "pred_entropy": pe,
+            "expected_entropy": ee, "mutual_information": pe - ee}
+
+
+def _score_from_stats(stats, gt, bp, *, agg_patch, threshold,
+                      ignore_index):
+    seg = jnp.argmax(stats["mean_softmax"], axis=-2).astype(jnp.int32)
+    gtp = packed_stats.pack_labels(gt.astype(jnp.int32), bp)
+    rows = [packed_stats.packed_dice(seg, gtp, bp,
+                                     ignore_index=ignore_index)]
+    for key in UNC_KEYS:
+        agg = packed_stats.packed_aggregate_all(
+            stats[key], bp, patch=agg_patch, threshold=threshold)
+        rows.extend(agg[a] for a in AGG_KEYS)
+    return jnp.stack(rows)
+
+
 def make_packed_scorer(members: int, patch: int, *,
                        agg_patch: int = 10, threshold: float = 0.3,
                        ignore_index: int = 0, dtype=jnp.bfloat16,
@@ -65,14 +113,116 @@ def make_packed_scorer(members: int, patch: int, *,
         logits = grouped_forward_packed(gv, xp, members, patch,
                                         interpret=interpret)
         stats = packed_stats.fused_sample_statistics_packed(logits)
-        seg = jnp.argmax(stats["mean_softmax"], axis=-2).astype(jnp.int32)
-        gtp = packed_stats.pack_labels(gt.astype(jnp.int32), bp)
-        rows = [packed_stats.packed_dice(seg, gtp, bp,
-                                         ignore_index=ignore_index)]
-        for key in UNC_KEYS:
-            agg = packed_stats.packed_aggregate_all(
-                stats[key], bp, patch=agg_patch, threshold=threshold)
-            rows.extend(agg[a] for a in AGG_KEYS)
-        return jnp.stack(rows)
+        return _score_from_stats(stats, gt, bp, agg_patch=agg_patch,
+                                 threshold=threshold,
+                                 ignore_index=ignore_index)
+
+    return score, score_rows()
+
+
+def make_packed_aleatoric_scorer(members: int, patch: int, *,
+                                 n_aleatoric_samples: int = 10,
+                                 agg_patch: int = 10,
+                                 threshold: float = 0.3,
+                                 ignore_index: int = 0,
+                                 dtype=jnp.bfloat16,
+                                 interpret: bool = False
+                                 ) -> Tuple[Callable, List[str]]:
+    """Scores for the aleatoric-logit-sampling deep ensemble
+    (reference loop test_3D.py:458-469): one grouped (mu, s) forward,
+    then members x n_aleatoric_samples softmax samples accumulated
+    streamingly in the packed layout — no (S, ...) stack is ever
+    materialized, so the 50-sample workload scores batch-128 pools in
+    the memory footprint of a single sample. Sample i draws
+    eps ~ N(0,1) with key fold_in(rng, i) (statistically identical to
+    the engine's per-member block draws, not bitwise)."""
+    if LANES % patch:
+        raise ValueError(f"patch={patch} must divide {LANES} for the "
+                         "packed layout; use SlidingWindowEngine")
+    bp = LANES // patch
+    n = int(n_aleatoric_samples)
+
+    def score(stacked_variables, volumes, gt, rng):
+        if volumes.ndim == 4:
+            volumes = volumes[..., None]
+        gv = jax.tree_util.tree_map(lambda a: a.astype(dtype),
+                                    stacked_variables)
+        xp = pack_ndhwc(volumes.astype(dtype), bp)
+        out = grouped_forward_packed(gv, xp, members, patch,
+                                     interpret=interpret)
+        # (nb, D, H, M, 2C, lanes): first C channels mu, last C are s
+        out = out.astype(jnp.float32)
+        mu, s = jnp.split(out, 2, axis=-2)
+        sigma = jnp.exp(s / 2.0)
+        shape = mu.shape[:3] + mu.shape[4:]     # one member's sample
+
+        def body(i, carry):
+            m = i // n
+            mu_m = jax.lax.dynamic_index_in_dim(mu, m, 3, keepdims=False)
+            sig_m = jax.lax.dynamic_index_in_dim(sigma, m, 3,
+                                                 keepdims=False)
+            eps = jax.random.normal(jax.random.fold_in(rng, i), shape,
+                                    jnp.float32)
+            probs = jax.nn.softmax(mu_m + sig_m * eps, axis=-2)
+            return streaming_update(carry, probs)
+
+        zero_p = jnp.zeros(shape, jnp.float32)
+        zero_e = jnp.zeros(shape[:3] + shape[4:], jnp.float32)
+        carry = jax.lax.fori_loop(0, members * n, body, (zero_p, zero_e))
+        stats = streaming_finalize(carry, members * n)
+        return _score_from_stats(stats, gt, bp, agg_patch=agg_patch,
+                                 threshold=threshold,
+                                 ignore_index=ignore_index)
+
+    return score, score_rows()
+
+
+def make_packed_dropout_scorer(members: int, patch: int, *,
+                               n_pred: int,
+                               agg_patch: int = 10,
+                               threshold: float = 0.3,
+                               ignore_index: int = 0,
+                               dtype=jnp.bfloat16,
+                               interpret: bool = False
+                               ) -> Tuple[Callable, List[str]]:
+    """Scores for MC-dropout (models left in train mode, reference
+    test_3D.py:417-483): n_pred grouped stochastic passes accumulated
+    streamingly — pass j draws its 17 dropout masks from
+    fold_in(rng, j). Total samples = members * n_pred."""
+    if LANES % patch:
+        raise ValueError(f"patch={patch} must divide {LANES} for the "
+                         "packed layout; use SlidingWindowEngine")
+    bp = LANES // patch
+
+    def score(stacked_variables, volumes, gt, rng):
+        if volumes.ndim == 4:
+            volumes = volumes[..., None]
+        gv = jax.tree_util.tree_map(lambda a: a.astype(dtype),
+                                    stacked_variables)
+        xp = pack_ndhwc(volumes.astype(dtype), bp)
+
+        def body(j, carry):
+            logits = grouped_forward_packed(
+                gv, xp, members, patch, do_dropout=True,
+                rng=jax.random.fold_in(rng, j), interpret=interpret)
+            # (nb, D, H, M, C, lanes): fold every member's sample in
+            p = jax.nn.softmax(logits.astype(jnp.float32), axis=-2)
+            for m in range(members):
+                carry = streaming_update(carry, p[:, :, :, m])
+            return carry
+
+        nb = xp.shape[0]
+        d, h = xp.shape[1], xp.shape[2]
+        # per-member class count from the stacked (members-fused) head
+        head = stacked_variables["params"].get(
+            "final", stacked_variables["params"].get("final_aleatoric"))
+        num_classes = head["bias"].shape[-1] // members
+        zero_p = jnp.zeros((nb, d, h, num_classes, LANES), jnp.float32)
+        zero_e = jnp.zeros((nb, d, h, LANES), jnp.float32)
+        carry = jax.lax.fori_loop(0, n_pred, body, (zero_p, zero_e))
+        stats = streaming_finalize(carry, members * n_pred)
+        return _score_from_stats(stats, gt, bp, agg_patch=agg_patch,
+                                 threshold=threshold,
+                                 ignore_index=ignore_index)
 
     return score, score_rows()
