@@ -187,3 +187,48 @@ def test_packed_dropout_scorer_matches_manual_passes():
     want = np.asarray(_score_from_stats(stats, gt, bp, agg_patch=4,
                                         threshold=0.3, ignore_index=0))
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_packed_tta_scorer_matches_grouped_tta():
+    """Streaming TTA scorer == the grouped TTA predictor composition:
+    both draw the variance/noise from the SAME rng splits, so the
+    variant inputs are bitwise identical; stats then agree."""
+    from values_tpu.inference.scoring import make_packed_tta_scorer
+    from values_tpu.models.ensemble_unet3d import (
+        make_grouped_tta_predictor)
+    from values_tpu.ops.uncertainty import fused_sample_statistics
+
+    members = 2
+    base = UNet3D(num_classes=2, initial_filter_size=8)
+    keys = jax.random.split(jax.random.PRNGKey(0), members)
+    member_vars = [base.init(k, jnp.zeros((1, PATCH, PATCH, PATCH, 1)))
+                   for k in keys]
+    stacked = group_member_variables(member_vars)
+    tta_stacked = group_member_variables(
+        sum([[v] * 16 for v in member_vars], []))
+    rs = np.random.RandomState(4)
+    vols = jnp.asarray(rs.rand(4, PATCH, PATCH, PATCH, 1)
+                       .astype(np.float32))
+    gt = jnp.asarray((rs.rand(4, PATCH, PATCH, PATCH) > 0.7)
+                     .astype(np.int32))
+    rng = jax.random.PRNGKey(9)
+
+    score, _ = make_packed_tta_scorer(members, PATCH, agg_patch=4,
+                                      dtype=jnp.float32, interpret=True)
+    got = np.asarray(score(stacked, vols, gt, rng))
+
+    _, pred = make_grouped_tta_predictor(2, members, 8, dtype=jnp.float32)
+    stack, _ = pred(tta_stacked, vols, rng)      # (32, B, sp, C)
+    stats = fused_sample_statistics(stack.astype(jnp.float32),
+                                    class_axis=-1)
+    seg = jnp.argmax(stats["mean_softmax"], axis=-1).astype(jnp.int32)
+    dice = jax.vmap(lambda a, g: dice_from_stats(
+        *dice_stats(a, g, ignore_index=0)))(seg, gt)
+    want = [np.asarray(dice)]
+    for unc in (stats["pred_entropy"], stats["expected_entropy"],
+                stats["mutual_information"]):
+        agg = aggregate_all(unc, patch=4, threshold=0.3)
+        want.extend([np.asarray(agg["patch_level"]),
+                     np.asarray(agg["image_level"]),
+                     np.asarray(agg["threshold"])])
+    np.testing.assert_allclose(got, np.stack(want), atol=5e-3, rtol=5e-3)

@@ -19,6 +19,7 @@ packed pipeline.
 """
 from __future__ import annotations
 
+import functools
 from typing import Callable, List, Tuple
 
 import jax
@@ -72,6 +73,22 @@ def streaming_finalize(carry, n_samples: int):
             "expected_entropy": ee, "mutual_information": pe - ee}
 
 
+def _pad_batch(volumes: jnp.ndarray, gt: jnp.ndarray, bp: int):
+    """Zero-pad the batch up to a pack multiple; returns (volumes, gt,
+    original_B). Padded items' scores are sliced off by the callers."""
+    if volumes.ndim == 4:
+        volumes = volumes[..., None]
+    b = volumes.shape[0]
+    pad = (-b) % bp
+    if pad:
+        volumes = jnp.concatenate(
+            [volumes, jnp.zeros((pad,) + volumes.shape[1:],
+                                volumes.dtype)])
+        gt = jnp.concatenate(
+            [gt, jnp.zeros((pad,) + gt.shape[1:], gt.dtype)])
+    return volumes, gt, b
+
+
 def _score_from_stats(stats, gt, bp, *, agg_patch, threshold,
                       ignore_index):
     seg = jnp.argmax(stats["mean_softmax"], axis=-2).astype(jnp.int32)
@@ -105,8 +122,7 @@ def make_packed_scorer(members: int, patch: int, *,
 
     def score(stacked_variables, volumes, gt, rng):
         del rng  # deterministic ensemble forward
-        if volumes.ndim == 4:
-            volumes = volumes[..., None]
+        volumes, gt, b = _pad_batch(volumes, gt, bp)
         gv = jax.tree_util.tree_map(lambda a: a.astype(dtype),
                                     stacked_variables)
         xp = pack_ndhwc(volumes.astype(dtype), bp)
@@ -115,7 +131,7 @@ def make_packed_scorer(members: int, patch: int, *,
         stats = packed_stats.fused_sample_statistics_packed(logits)
         return _score_from_stats(stats, gt, bp, agg_patch=agg_patch,
                                  threshold=threshold,
-                                 ignore_index=ignore_index)
+                                 ignore_index=ignore_index)[:, :b]
 
     return score, score_rows()
 
@@ -143,8 +159,7 @@ def make_packed_aleatoric_scorer(members: int, patch: int, *,
     n = int(n_aleatoric_samples)
 
     def score(stacked_variables, volumes, gt, rng):
-        if volumes.ndim == 4:
-            volumes = volumes[..., None]
+        volumes, gt, b = _pad_batch(volumes, gt, bp)
         gv = jax.tree_util.tree_map(lambda a: a.astype(dtype),
                                     stacked_variables)
         xp = pack_ndhwc(volumes.astype(dtype), bp)
@@ -172,7 +187,89 @@ def make_packed_aleatoric_scorer(members: int, patch: int, *,
         stats = streaming_finalize(carry, members * n)
         return _score_from_stats(stats, gt, bp, agg_patch=agg_patch,
                                  threshold=threshold,
-                                 ignore_index=ignore_index)
+                                 ignore_index=ignore_index)[:, :b]
+
+    return score, score_rows()
+
+
+@functools.lru_cache(maxsize=None)
+def _lane_reverse_matrix(lanes: int, w_item: int):
+    """(lanes, lanes) 0/1 permutation reversing W inside each item's
+    lane block (the packed-layout W un-flip)."""
+    import numpy as np
+    r = np.zeros((lanes, lanes), np.float32)
+    for l in range(lanes):
+        b, j = divmod(l, w_item)
+        r[l, b * w_item + (w_item - 1 - j)] = 1.0
+    return r
+
+
+def _unflip_packed(p: jnp.ndarray, axes, w_item: int) -> jnp.ndarray:
+    """Un-flip a packed map (nb, D, H, ..., lanes) whose generating
+    input was flipped along the given VOLUME axes (1=D, 2=H, 3=W)."""
+    vol_axes = [a for a in axes if a in (1, 2)]
+    if vol_axes:
+        p = jnp.flip(p, axis=vol_axes)
+    if 3 in axes:
+        r = jnp.asarray(_lane_reverse_matrix(p.shape[-1], w_item))
+        p = jax.lax.dot_general(
+            p.astype(jnp.float32), r, (((p.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return p
+
+
+def make_packed_tta_scorer(members: int, patch: int, *,
+                           agg_patch: int = 10, threshold: float = 0.3,
+                           ignore_index: int = 0, dtype=jnp.bfloat16,
+                           interpret: bool = False
+                           ) -> Tuple[Callable, List[str]]:
+    """Scores for test-time augmentation (reference loop
+    test_3D.py:427-456): the 16 clean/noise x flip variants run as 16
+    sequential members-grouped packed forwards whose softmaxes are
+    un-flipped IN THE PACKED LAYOUT (D/H: jnp.flip; W: one lane-reverse
+    permutation matmul) and accumulated streamingly. Unlike the grouped
+    TTA lowering (members*16 channel groups — exceeds HBM at 64^3
+    window batches >= 8), this holds one variant at a time, so TTA
+    scores batch-128 pools. Variant RNG (variance draw + noise field)
+    mirrors make_grouped_tta_predictor key-for-key; takes plain
+    member-stacked variables (no 16x tiling)."""
+    if LANES % patch:
+        raise ValueError(f"patch={patch} must divide {LANES} for the "
+                         "packed layout; use SlidingWindowEngine")
+    bp = LANES // patch
+    from .predictors import FLIP_COMBOS
+
+    def score(stacked_variables, volumes, gt, rng):
+        volumes, gt, b = _pad_batch(volumes, gt, bp)
+        gv = jax.tree_util.tree_map(lambda a: a.astype(dtype),
+                                    stacked_variables)
+        var_key, noise_key = jax.random.split(rng)
+        variance = jax.random.uniform(var_key, (), minval=0.0,
+                                      maxval=0.1)
+        noise = jax.random.normal(noise_key, volumes.shape,
+                                  volumes.dtype)
+        x_noise = volumes + noise * variance
+
+        carry = None
+        for base in (volumes, x_noise):
+            for axes in ((),) + tuple(FLIP_COMBOS):
+                xv = jnp.flip(base, axis=list(axes)) if axes else base
+                xp = pack_ndhwc(xv.astype(dtype), bp)
+                logits = grouped_forward_packed(gv, xp, members, patch,
+                                                interpret=interpret)
+                p = jax.nn.softmax(logits.astype(jnp.float32), axis=-2)
+                p = _unflip_packed(p, axes, patch)
+                if carry is None:
+                    shape = p.shape[:3] + p.shape[4:]
+                    carry = (jnp.zeros(shape, jnp.float32),
+                             jnp.zeros(shape[:3] + shape[4:],
+                                       jnp.float32))
+                for m in range(members):
+                    carry = streaming_update(carry, p[:, :, :, m])
+        stats = streaming_finalize(carry, 16 * members)
+        return _score_from_stats(stats, gt, bp, agg_patch=agg_patch,
+                                 threshold=threshold,
+                                 ignore_index=ignore_index)[:, :b]
 
     return score, score_rows()
 
@@ -195,8 +292,7 @@ def make_packed_dropout_scorer(members: int, patch: int, *,
     bp = LANES // patch
 
     def score(stacked_variables, volumes, gt, rng):
-        if volumes.ndim == 4:
-            volumes = volumes[..., None]
+        volumes, gt, b = _pad_batch(volumes, gt, bp)
         gv = jax.tree_util.tree_map(lambda a: a.astype(dtype),
                                     stacked_variables)
         xp = pack_ndhwc(volumes.astype(dtype), bp)
@@ -223,6 +319,6 @@ def make_packed_dropout_scorer(members: int, patch: int, *,
         stats = streaming_finalize(carry, members * n_pred)
         return _score_from_stats(stats, gt, bp, agg_patch=agg_patch,
                                  threshold=threshold,
-                                 ignore_index=ignore_index)
+                                 ignore_index=ignore_index)[:, :b]
 
     return score, score_rows()
