@@ -232,3 +232,68 @@ def test_packed_tta_scorer_matches_grouped_tta():
                      np.asarray(agg["image_level"]),
                      np.asarray(agg["threshold"])])
     np.testing.assert_allclose(got, np.stack(want), atol=5e-3, rtol=5e-3)
+
+
+def test_packed_ssn_scorer_matches_flax_composition():
+    """SSN streaming scorer == per-member flax SsnUNet3D distributions
+    sampled with the scorer's exact key scheme (fold_in(rng, m*n+s) ->
+    split -> eps_r/eps_d), including the hoisted singular fallback."""
+    from values_tpu.inference.scoring import make_packed_ssn_scorer
+    from values_tpu.models.ssn_unet3d import SsnUNet3D
+
+    members, n_pred, rank = 2, 2, 3
+    base = SsnUNet3D(num_classes=2, initial_filter_size=8, rank=rank)
+    keys = jax.random.split(jax.random.PRNGKey(0), members)
+    member_vars = [base.init(k, jnp.zeros((1, PATCH, PATCH, PATCH, 1)))
+                   for k in keys]
+    stacked = group_member_variables(member_vars)
+    rs = np.random.RandomState(6)
+    vols = jnp.asarray(rs.rand(B, PATCH, PATCH, PATCH, 1)
+                       .astype(np.float32))
+    gt = jnp.asarray((rs.rand(B, PATCH, PATCH, PATCH) > 0.7)
+                     .astype(np.int32))
+    rng = jax.random.PRNGKey(11)
+
+    score, _ = make_packed_ssn_scorer(
+        2, members, PATCH, n_pred=n_pred, rank=rank, agg_patch=4,
+        dtype=jnp.float32, interpret=True)
+    got = np.asarray(score(stacked, vols, gt, rng))
+
+    sum_p = jnp.zeros((B, PATCH, PATCH, PATCH, 2), jnp.float32)
+    sum_e = jnp.zeros((B, PATCH, PATCH, PATCH), jnp.float32)
+    for m in range(members):
+        dist = base.apply(member_vars[m], vols)
+        degen = dist._degenerate_factor()
+        factor = jnp.where(degen[:, None, None],
+                           jnp.zeros_like(dist.cov_factor),
+                           dist.cov_factor)
+        for s in range(n_pred):
+            k1, k2 = jax.random.split(
+                jax.random.fold_in(rng, m * n_pred + s))
+            eps_r = jax.random.normal(k1, (1, B, rank), jnp.float32)[0]
+            eps_d = jax.random.normal(k2, (1,) + dist.mean.shape,
+                                      jnp.float32)[0]
+            smp = (dist.mean + jnp.einsum("bnr,br->bn", factor, eps_r)
+                   + jnp.sqrt(dist.cov_diag) * eps_d)
+            logits = jnp.moveaxis(
+                smp.reshape(B, 2, PATCH, PATCH, PATCH), 1, -1)
+            probs = jax.nn.softmax(logits, axis=-1)
+            sum_p = sum_p + probs
+            plogp = probs * jnp.log(probs)
+            sum_e = sum_e - jnp.sum(
+                jnp.where(jnp.isnan(plogp), 0.0, plogp), axis=-1)
+    n_tot = members * n_pred
+    mean_softmax = sum_p / n_tot
+    plogp = mean_softmax * jnp.log(mean_softmax)
+    pe = -jnp.sum(jnp.where(jnp.isnan(plogp), 0.0, plogp), axis=-1)
+    ee = sum_e / n_tot
+    seg = jnp.argmax(mean_softmax, axis=-1).astype(jnp.int32)
+    dice = jax.vmap(lambda a, g: dice_from_stats(
+        *dice_stats(a, g, ignore_index=0)))(seg, gt)
+    want = [np.asarray(dice)]
+    for unc in (pe, ee, pe - ee):
+        agg = aggregate_all(unc, patch=4, threshold=0.3)
+        want.extend([np.asarray(agg["patch_level"]),
+                     np.asarray(agg["image_level"]),
+                     np.asarray(agg["threshold"])])
+    np.testing.assert_allclose(got, np.stack(want), atol=5e-3, rtol=5e-3)

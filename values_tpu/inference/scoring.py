@@ -54,20 +54,21 @@ def _guarded_plogp(p):
     return jnp.where(jnp.isnan(val), 0.0, val)
 
 
-def streaming_update(carry, probs):
-    """Accumulate one (nb, D, H, C, lanes) softmax sample into
-    (sum_softmax, sum_entropy)."""
+def streaming_update(carry, probs, class_axis: int = -2):
+    """Accumulate one softmax sample into (sum_softmax, sum_entropy).
+    class_axis=-2 for packed maps (nb, D, H, C, lanes), -1 for
+    unpacked (B, ..., C)."""
     sum_p, sum_ent = carry
     return (sum_p + probs,
-            sum_ent - jnp.sum(_guarded_plogp(probs), axis=-2))
+            sum_ent - jnp.sum(_guarded_plogp(probs), axis=class_axis))
 
 
-def streaming_finalize(carry, n_samples: int):
+def streaming_finalize(carry, n_samples: int, class_axis: int = -2):
     """(sum_softmax, sum_entropy) -> the fused_sample_statistics_packed
     dict (identical values to the materialized-stack version)."""
     sum_p, sum_ent = carry
     mean_softmax = sum_p / n_samples
-    pe = -jnp.sum(_guarded_plogp(mean_softmax), axis=-2)
+    pe = -jnp.sum(_guarded_plogp(mean_softmax), axis=class_axis)
     ee = sum_ent / n_samples
     return {"mean_softmax": mean_softmax, "pred_entropy": pe,
             "expected_entropy": ee, "mutual_information": pe - ee}
@@ -320,5 +321,103 @@ def make_packed_dropout_scorer(members: int, patch: int, *,
         return _score_from_stats(stats, gt, bp, agg_patch=agg_patch,
                                  threshold=threshold,
                                  ignore_index=ignore_index)[:, :b]
+
+    return score, score_rows()
+
+
+def make_packed_ssn_scorer(num_classes: int, members: int, patch: int, *,
+                           n_pred: int = 1, rank: int = 10,
+                           epsilon: float = 1e-5,
+                           agg_patch: int = 10, threshold: float = 0.3,
+                           ignore_index: int = 0, dtype=jnp.bfloat16,
+                           interpret: bool = False
+                           ) -> Tuple[Callable, List[str]]:
+    """Scores for the SSN deep ensemble (reference loop
+    test_3D.py:361-396): ONE packed grouped trunk forward, then the
+    low-rank-MVN machinery streams member by member — the (B, C*V, R)
+    cov_factor (the SSN memory wall: 2.7 GB per member at batch 128)
+    is materialized for one member at a time, and each of its n_pred
+    logit samples accumulates into the streaming statistics before the
+    next is drawn. The singular-capacitance fallback is hoisted out of
+    the sample loop (LowRankMVN._degenerate_factor — torch constructor-
+    failure parity). Sample (m, s) draws with key
+    fold_in(rng, m*n_pred+s) through LowRankMVN.rsample's split tree
+    (statistically identical to the engine's batched draw, not
+    bitwise)."""
+    if LANES % patch:
+        raise ValueError(f"patch={patch} must divide {LANES} for the "
+                         "packed layout; use SlidingWindowEngine")
+    bp = LANES // patch
+    from ..models.ssn_unet3d import LowRankMVN
+    from ..ops.pallas.conv3d import unpack_ndhwc
+
+    def score(stacked_variables, volumes, gt, rng):
+        volumes, gt, b = _pad_batch(volumes, gt, bp)
+        gv = jax.tree_util.tree_map(lambda a: a.astype(dtype),
+                                    stacked_variables)
+        xp = pack_ndhwc(volumes.astype(dtype), bp)
+        feats_p = grouped_forward_packed(gv, xp, members, patch,
+                                         apply_final=False,
+                                         interpret=interpret)
+        p = stacked_variables["params"]
+        f = feats_p.shape[-2]
+        spatial = volumes.shape[1:4]
+
+        def head(fm, name, m, cout):  # unpacked (B, sp, F) -> (B, sp, c)
+            k = p[name]["kernel"].reshape(f, members, cout)[:, m]
+            bias = p[name]["bias"].reshape(members, cout)[m]
+            return (jnp.einsum("b...i,io->b...o", fm,
+                               k.astype(jnp.float32))
+                    + bias.astype(jnp.float32))
+
+        def flatten_cf(t):  # (B, sp, C) -> (B, C*V), torch (C,D,H,W)
+            return jnp.moveaxis(t, -1, 1).reshape(t.shape[0], -1)
+
+        carry = (jnp.zeros(volumes.shape[:4] + (num_classes,),
+                           jnp.float32),
+                 jnp.zeros(volumes.shape[:4], jnp.float32))
+        for m in range(members):
+            fm = unpack_ndhwc(feats_p[:, :, :, m], bp).astype(jnp.float32)
+            mean = flatten_cf(head(fm, "mean_conv", m, num_classes))
+            cov_diag = jnp.exp(flatten_cf(
+                head(fm, "log_cov_diag_conv", m, num_classes))) + epsilon
+            raw = head(fm, "cov_factor_conv", m, num_classes * rank)
+            raw = jnp.moveaxis(raw, -1, 1)        # (B, C*R, *sp)
+            raw = raw.reshape(raw.shape[0], rank, -1)
+            cov_factor = jnp.swapaxes(raw, 1, 2)  # (B, C*V, R)
+            dist = LowRankMVN(mean=mean, cov_diag=cov_diag,
+                              cov_factor=cov_factor)
+            # hoist the capacitance check out of the sample loop
+            degenerate = dist._degenerate_factor()
+            factor = jnp.where(degenerate[:, None, None],
+                               jnp.zeros_like(cov_factor), cov_factor)
+            sqrt_diag = jnp.sqrt(cov_diag)
+            for s in range(n_pred):
+                k1, k2 = jax.random.split(
+                    jax.random.fold_in(rng, m * n_pred + s))
+                eps_r = jax.random.normal(k1, (1,) + factor.shape[:1]
+                                          + (rank,), jnp.float32)
+                eps_d = jax.random.normal(k2, (1,) + mean.shape,
+                                          jnp.float32)
+                smp = (mean + jnp.einsum("bnr,br->bn", factor, eps_r[0])
+                       + sqrt_diag * eps_d[0])    # (B, C*V)
+                logits = smp.reshape((-1, num_classes) + spatial)
+                logits = jnp.moveaxis(logits, 1, -1)   # (B, sp, C)
+                probs = jax.nn.softmax(logits, axis=-1)
+                carry = streaming_update(carry, probs, class_axis=-1)
+        stats = streaming_finalize(carry, members * n_pred,
+                                   class_axis=-1)
+
+        from ..ops.aggregation import aggregate_all
+        from ..ops.metrics import dice_from_stats, dice_stats
+        seg = jnp.argmax(stats["mean_softmax"], axis=-1).astype(jnp.int32)
+        dice = jax.vmap(lambda a, g: dice_from_stats(
+            *dice_stats(a, g, ignore_index=ignore_index)))(seg, gt)
+        rows = [dice]
+        for key in UNC_KEYS:
+            agg = aggregate_all(stats[key], patch=agg_patch,
+                                threshold=threshold)
+            rows.extend(agg[a] for a in AGG_KEYS)
+        return jnp.stack(rows)[:, :b]
 
     return score, score_rows()
