@@ -202,3 +202,109 @@ def test_fit_with_packed_backend_matches_xla_loss(tmp_path):
             track.append(float(loss))
         losses[backend] = track
     np.testing.assert_allclose(losses["packed"], losses["xla"], rtol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def ssn_setup():
+    from values_tpu.models.ssn_unet3d import SsnUNet3D
+    model = SsnUNet3D(num_classes=2, initial_filter_size=8, rank=3)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 16, 1),
+                          jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    return model, params, x
+
+
+@pytest.mark.parametrize("mean_only", [False, True])
+def test_packed_ssn_train_forward_matches_flax(ssn_setup, mean_only):
+    from values_tpu.models.ensemble_unet3d_pallas import (
+        packed_ssn_train_forward)
+    model, params, x = ssn_setup
+    d_flax = model.apply({"params": params}, x, mean_only=mean_only)
+    d_packed = packed_ssn_train_forward(params, x, num_classes=2, rank=3,
+                                        mean_only=mean_only,
+                                        interpret=True)
+    np.testing.assert_allclose(np.asarray(d_packed.mean),
+                               np.asarray(d_flax.mean), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(d_packed.cov_diag),
+                               np.asarray(d_flax.cov_diag), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(d_packed.cov_factor),
+                               np.asarray(d_flax.cov_factor), atol=2e-5)
+    # same key => same sample (distribution parameters agree to roundoff)
+    s1 = d_packed.rsample(jax.random.PRNGKey(3), (2,))
+    s2 = d_flax.rsample(jax.random.PRNGKey(3), (2,))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=2e-4)
+
+
+def test_packed_ssn_train_gradients_match_flax(ssn_setup):
+    from values_tpu.models.ensemble_unet3d_pallas import (
+        packed_ssn_train_forward)
+    model, params, x = ssn_setup
+
+    def scalar(dist):
+        return (jnp.mean(jnp.sin(dist.mean)) + jnp.mean(dist.cov_diag)
+                + jnp.mean(dist.cov_factor ** 2))
+
+    def loss_flax(p):
+        return scalar(model.apply({"params": p}, x))
+
+    def loss_packed(p):
+        return scalar(packed_ssn_train_forward(p, x, num_classes=2,
+                                               rank=3, interpret=True))
+
+    l1, g1 = jax.value_and_grad(loss_flax)(params)
+    l2, g2 = jax.value_and_grad(loss_packed)(params)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5)
+    from jax.tree_util import keystr, tree_flatten_with_path
+    flat1, _ = tree_flatten_with_path(g1)
+    flat2, _ = tree_flatten_with_path(g2)
+    global_scale = max(float(jnp.max(jnp.abs(a))) for _, a in flat1)
+    checked = 0
+    for (k1, a), (_k2, b) in zip(flat1, flat2):
+        scale = float(jnp.max(jnp.abs(a)))
+        if scale < 1e-6 * global_scale:
+            continue  # true-zero gradient leaf (bias into instance norm)
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-4 * scale,
+            err_msg=keystr(k1))
+        checked += 1
+    assert checked >= 24  # trunk kernels + all three head kernels/biases
+
+
+@pytest.mark.slow
+def test_ssn_fit_with_packed_backend_matches_xla_loss():
+    """SSN train_backend=packed must track the XLA backend's loss
+    trajectory on identical data/seeds: the rsample key derivation is
+    shared, so the MC noise is bitwise-identical and only conv rounding
+    differs."""
+    from values_tpu.config import make_config
+    from values_tpu.training.experiment import Experiment
+
+    losses = {}
+    for backend in ("xla", "packed"):
+        cfg = make_config({
+            "model": {"_target_": "values_tpu.models.ssn_unet3d.SsnUNet3D",
+                      "num_classes": 2, "initial_filter_size": 8,
+                      "rank": 3},
+            "datamodule": {"ignore_index": 0},
+            "learning_rate": 1e-3, "seed": 7,
+            "n_aleatoric_samples": 4,
+            "train_backend": backend,
+        })
+        exp = Experiment(cfg)
+        state = exp.init_state(jax.random.PRNGKey(0), 16, 1)
+        rs = np.random.RandomState(0)
+        track = []
+        for step in range(3):
+            batch = {
+                "data": jnp.asarray(
+                    rs.rand(2, 16, 16, 16, 1).astype(np.float32)),
+                "seg": jnp.asarray(
+                    (rs.rand(2, 16, 16, 16) > 0.5).astype(np.int32)),
+            }
+            for pretrain in (True, False):
+                state, loss = exp.train_step(state, batch,
+                                             jax.random.PRNGKey(step),
+                                             pretrain=pretrain)
+                track.append(float(loss))
+        losses[backend] = track
+    np.testing.assert_allclose(losses["packed"], losses["xla"], rtol=2e-3)

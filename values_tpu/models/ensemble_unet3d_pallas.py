@@ -890,18 +890,21 @@ def _single_member_tree(params: Dict) -> Dict:
 def packed_train_forward(params: Dict, x: jnp.ndarray, *,
                          do_dropout: bool = False,
                          rng: Optional[jax.Array] = None,
+                         apply_final: bool = True,
                          interpret: bool = False):
     """Differentiable batch-packed UNet3D forward for the TRAINING step.
 
     Takes the plain flax UNet3D ``params`` and an NDHWC batch; returns
     logits (B, D, H, W, C) — or ``(mu, s)`` when the tree carries the
-    aleatoric head — numerically equivalent to ``UNet3D.apply`` (same
-    math; conv ordering differs at float-rounding level). Convolutions
-    run the banded packed kernel with a custom VJP whose backward-data
-    conv is packed too, so BOTH directions escape XLA's collapsed
-    small-batch conv regime (ROADMAP r2: batch-minor lanes 16/128 below
-    batch ~96). Batches not divisible by the pack factor are zero-padded
-    and sliced back (padded items contribute nothing to the loss).
+    aleatoric head, or the pre-head features with ``apply_final=False``
+    (``UNet3D.__call__(last_layer=False)``) — numerically equivalent to
+    ``UNet3D.apply`` (same math; conv ordering differs at
+    float-rounding level). Convolutions run the banded packed kernel
+    with a custom VJP whose backward-data conv is packed too, so BOTH
+    directions escape XLA's collapsed small-batch conv regime (ROADMAP
+    r2: batch-minor lanes 16/128 below batch ~96). Batches not
+    divisible by the pack factor are zero-padded and sliced back
+    (padded items contribute nothing to the loss).
     """
     b, d, h, w, cin = x.shape
     assert LANES % w == 0, f"W={w} must divide {LANES}"
@@ -914,10 +917,55 @@ def packed_train_forward(params: Dict, x: jnp.ndarray, *,
     xp = pack_ndhwc(x, bp)
     out = grouped_forward_packed(grouped, xp, 1, w, do_dropout=do_dropout,
                                  rng=rng, trainable=True,
+                                 apply_final=apply_final,
                                  interpret=interpret)
     nb, d_, h_, _m, c, lanes = out.shape
     flat = unpack_ndhwc(out.reshape(nb, d_, h_, c, lanes), bp)[:b]
-    if "final_aleatoric" in params:
+    if apply_final and "final_aleatoric" in params:
         mu, s = jnp.split(flat, 2, axis=-1)
         return mu, s
     return flat
+
+
+def packed_ssn_train_forward(params: Dict, x: jnp.ndarray, *,
+                             num_classes: int, rank: int,
+                             epsilon: float = 1e-5,
+                             mean_only: bool = False,
+                             do_dropout: bool = False,
+                             rng: Optional[jax.Array] = None,
+                             interpret: bool = False):
+    """Differentiable packed SSN forward: banded-kernel trunk + unpacked
+    1x1x1 heads, returning the same LowRankMVN as ``SsnUNet3D.apply``
+    (reference: ssn_unet3D_module.py:30-56). The trunk — where all the
+    conv FLOPs are — rides the custom-VJP packed pipeline; the heads
+    are plain einsums (gradients compose), and the torch-view-parity
+    flattening matches the flax module exactly, so ``rsample`` with the
+    same key draws statistically identical logit samples."""
+    from .ssn_unet3d import LowRankMVN
+    features = packed_train_forward(params, x, do_dropout=do_dropout,
+                                    rng=rng, apply_final=False,
+                                    interpret=interpret)
+    features = features.astype(jnp.float32)
+    batch = features.shape[0]
+    f_in = features.shape[-1]
+
+    def head(name, cout):
+        k = params[name]["kernel"].reshape(f_in, cout).astype(jnp.float32)
+        bias = params[name]["bias"].astype(jnp.float32)
+        return jnp.einsum("b...i,io->b...o", features, k) + bias
+
+    def flatten_cf(t):  # (B, sp, C) -> (B, C*V), torch (C, D, H, W) view
+        return jnp.moveaxis(t, -1, 1).reshape(batch, -1)
+
+    mean = flatten_cf(head("mean_conv", num_classes))
+    cov_diag = jnp.exp(flatten_cf(
+        head("log_cov_diag_conv", num_classes))) + epsilon
+    if mean_only:
+        cov_factor = jnp.zeros(mean.shape + (rank,), dtype=mean.dtype)
+    else:
+        raw = head("cov_factor_conv", num_classes * rank)
+        raw = jnp.moveaxis(raw, -1, 1)            # (B, C*R, D, H, W)
+        raw = raw.reshape(batch, rank, -1)        # (B, R, C*V)
+        cov_factor = jnp.swapaxes(raw, 1, 2)      # (B, C*V, R)
+    return LowRankMVN(mean=mean, cov_diag=cov_diag, cov_factor=cov_factor,
+                      event_shape=(num_classes,) + x.shape[1:-1])

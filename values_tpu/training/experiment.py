@@ -201,8 +201,34 @@ class Experiment:
             return out, model_state
 
         f32 = lambda t: t.astype(jnp.float32)  # losses always reduce in f32
-        use_packed = (self.train_backend == "packed" and not self.is_ssn
-                      and not self.is_2d)
+        use_packed = self.train_backend == "packed" and not self.is_2d
+        if use_packed and self.is_ssn:
+            # SSN: packed custom-VJP trunk + f32 heads/distribution
+            # (ssn_unet3D_module.py:30-56 semantics; heads ride einsums)
+            from ..models.ensemble_unet3d_pallas import (
+                packed_ssn_train_forward)
+            cast = (lambda t: t.astype(jnp.bfloat16)) if self.mixed_bf16 \
+                else (lambda t: t)
+            packed_params = jax.tree_util.tree_map(cast, params)
+            # the trunk dropout key is the top-of-_loss split's
+            # dropout_rng and rsample consumes the SAME post-split rng
+            # as the XLA branch — identical noise streams, so the two
+            # backends' loss trajectories are directly comparable
+            drop_rng = (apply_kwargs["rngs"]["dropout"]
+                        if self.has_dropout else None)
+            dist = packed_ssn_train_forward(
+                packed_params, data, num_classes=self.num_classes,
+                rank=self.model.rank, epsilon=self.model.epsilon,
+                mean_only=pretrain, do_dropout=self.has_dropout,
+                rng=drop_rng,
+                interpret=jax.devices()[0].platform != "tpu")
+            samples = dist.rsample(rng, (self.n_aleatoric_samples,))
+            event = (self.num_classes,) + data.shape[1:-1]
+            logit_samples = f32(samples).reshape(
+                (self.n_aleatoric_samples, data.shape[0]) + event)
+            loss = L.ssn_mc_loglikelihood_loss(
+                logit_samples, target, ignore_index=self.ignore_index)
+            return loss, model_state
         if use_packed:
             from ..models.ensemble_unet3d_pallas import packed_train_forward
             cast = (lambda t: t.astype(jnp.bfloat16)) if self.mixed_bf16 \
