@@ -155,6 +155,54 @@ USEFUL_FLOPS_PER_VOLUME = 37.7e9   # fwd convs+transpose-convs, ensemble-5
 PEAK_BF16 = 197e12                 # v5e
 
 
+def measure_streaming_aleatoric(batch: int = 32) -> float:
+    """The heaviest sampling C1 family: aleatoric deep ensemble,
+    5 members x 10 logit samples per volume (reference loop
+    test_3D.py:458-469 runs this volume-serially in f64). The streaming
+    packed scorer accumulates the 50 softmax samples in O(1) memory, so
+    the whole batch stays resident; volumes/sec by the same chained-scan
+    best-of-3 protocol as the headline."""
+    import jax
+    import jax.numpy as jnp
+    from values_tpu.inference.scoring import make_packed_aleatoric_scorer
+    from values_tpu.models.ensemble_unet3d import group_member_variables
+    from values_tpu.models.unet3d import UNet3D
+
+    base = UNet3D(num_classes=2, initial_filter_size=8,
+                  aleatoric_loss=True)
+    init = jax.jit(base.init)
+    keys = jax.random.split(jax.random.PRNGKey(0), N_MEMBERS)
+    stacked = group_member_variables(
+        [init(k, jnp.zeros((1, PATCH, PATCH, PATCH, 1))) for k in keys])
+    score, _ = make_packed_aleatoric_scorer(
+        N_MEMBERS, PATCH, n_aleatoric_samples=10, agg_patch=AGG_PATCH,
+        threshold=THRESHOLD)
+    step = jax.jit(score)
+    rs = np.random.RandomState(3)
+    vols = jnp.asarray(rs.rand(batch, PATCH, PATCH, PATCH, 1)
+                       .astype(np.float32))
+    gt = jnp.asarray((rs.rand(batch, PATCH, PATCH, PATCH) > 0.7)
+                     .astype(np.uint8))
+    rng = jax.random.PRNGKey(0)
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("repeats",))
+    def chained(stacked_v, v, g, key, repeats=4):
+        def body(carry, _):
+            return jax.random.fold_in(carry, 1), step(stacked_v, v, g,
+                                                      carry)
+        _, out = jax.lax.scan(body, key, None, length=repeats)
+        return out
+
+    np.asarray(chained(stacked, vols, gt, rng))  # warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(chained(stacked, vols, gt, rng))
+        best = min(best, time.perf_counter() - t0)
+    return 4 * batch / best
+
+
 def measure_small_batch_forward(backend: str, batch: int = 16) -> float:
     """The production sliding-window regime: real inference feeds the
     chip window CHUNKS (test_batch_size windows of one volume), far below
@@ -412,6 +460,7 @@ def main() -> None:
     small_pallas = guarded(measure_small_batch_forward, "pallas")
     small_xla = guarded(measure_small_batch_forward, "xla")
     train_packed = guarded(measure_train_step, "packed", fallback={})
+    aleatoric_vps = guarded(measure_streaming_aleatoric)
     print(json.dumps({
         "metric": "lidc_ensemble5_entropy_inference_throughput",
         "value": round(volumes_per_sec, 2),
@@ -431,6 +480,9 @@ def main() -> None:
         "window_batch16_xla_volumes_per_sec": round(small_xla, 1),
         # bf16 training step, batch 8, packed custom-VJP conv backend
         "train_step_packed_bf16": train_packed,
+        # heaviest sampling family: aleatoric ensemble, 50 softmax
+        # samples/volume accumulated streamingly in the packed layout
+        "aleatoric50_streaming_volumes_per_sec": round(aleatoric_vps, 1),
         # every timing above takes the best of 3 fully-synchronized
         # dispatches of a chained-scan program — the tunnel's multi-
         # hundred-ms per-dispatch jitter is excluded by protocol, so

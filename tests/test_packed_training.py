@@ -308,3 +308,44 @@ def test_ssn_fit_with_packed_backend_matches_xla_loss():
                 track.append(float(loss))
         losses[backend] = track
     np.testing.assert_allclose(losses["packed"], losses["xla"], rtol=2e-3)
+
+
+@pytest.mark.parametrize("family", ["softmax", "aleatoric", "ssn"])
+def test_packed_val_step_matches_xla(family):
+    """val_step with train_backend=packed routes the forward through the
+    fused banded pipeline; val_loss/val_dice must agree with the XLA
+    backend to conv rounding (identical rsample keys for SSN)."""
+    from values_tpu.config import make_config
+    from values_tpu.training.experiment import Experiment
+
+    model_cfg = {"_target_": "values_tpu.models.unet3d.UNet3D",
+                 "num_classes": 2, "initial_filter_size": 8}
+    if family == "ssn":
+        model_cfg = {"_target_": "values_tpu.models.ssn_unet3d.SsnUNet3D",
+                     "num_classes": 2, "initial_filter_size": 8,
+                     "rank": 3}
+    rs = np.random.RandomState(1)
+    batch = {
+        "data": jnp.asarray(rs.rand(2, 16, 16, 16, 1).astype(np.float32)),
+        "seg": jnp.asarray((rs.rand(2, 16, 16, 16) > 0.5)
+                           .astype(np.int32)),
+    }
+    out = {}
+    for backend in ("xla", "packed"):
+        cfg = make_config({
+            "model": dict(model_cfg),
+            "datamodule": {"ignore_index": 0},
+            "learning_rate": 1e-3, "seed": 7,
+            "n_aleatoric_samples": 4,
+            "aleatoric_loss": family == "aleatoric",
+            "train_backend": backend,
+        })
+        exp = Experiment(cfg)
+        state = exp.init_state(jax.random.PRNGKey(0), 16, 1)
+        out[backend] = {
+            k: float(v) for k, v in exp.val_step(
+                state.params, state.model_state, batch,
+                jax.random.PRNGKey(3)).items()}
+    for k in out["xla"]:
+        np.testing.assert_allclose(out["packed"][k], out["xla"][k],
+                                   rtol=2e-3, err_msg=k)

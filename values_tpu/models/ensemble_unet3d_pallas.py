@@ -891,6 +891,7 @@ def packed_train_forward(params: Dict, x: jnp.ndarray, *,
                          do_dropout: bool = False,
                          rng: Optional[jax.Array] = None,
                          apply_final: bool = True,
+                         trainable: bool = True,
                          interpret: bool = False):
     """Differentiable batch-packed UNet3D forward for the TRAINING step.
 
@@ -904,7 +905,9 @@ def packed_train_forward(params: Dict, x: jnp.ndarray, *,
     directions escape XLA's collapsed small-batch conv regime (ROADMAP
     r2: batch-minor lanes 16/128 below batch ~96). Batches not
     divisible by the pack factor are zero-padded and sliced back
-    (padded items contribute nothing to the loss).
+    (padded items contribute nothing to the loss). ``trainable=False``
+    (gradient-free callers, e.g. the validation step) switches to the
+    stats-chained fused pipeline — same values, no VJP residuals.
     """
     b, d, h, w, cin = x.shape
     assert LANES % w == 0, f"W={w} must divide {LANES}"
@@ -916,7 +919,7 @@ def packed_train_forward(params: Dict, x: jnp.ndarray, *,
     grouped = {"params": _single_member_tree(params)}
     xp = pack_ndhwc(x, bp)
     out = grouped_forward_packed(grouped, xp, 1, w, do_dropout=do_dropout,
-                                 rng=rng, trainable=True,
+                                 rng=rng, trainable=trainable,
                                  apply_final=apply_final,
                                  interpret=interpret)
     nb, d_, h_, _m, c, lanes = out.shape
@@ -933,6 +936,7 @@ def packed_ssn_train_forward(params: Dict, x: jnp.ndarray, *,
                              mean_only: bool = False,
                              do_dropout: bool = False,
                              rng: Optional[jax.Array] = None,
+                             trainable: bool = True,
                              interpret: bool = False):
     """Differentiable packed SSN forward: banded-kernel trunk + unpacked
     1x1x1 heads, returning the same LowRankMVN as ``SsnUNet3D.apply``
@@ -944,6 +948,7 @@ def packed_ssn_train_forward(params: Dict, x: jnp.ndarray, *,
     from .ssn_unet3d import LowRankMVN
     features = packed_train_forward(params, x, do_dropout=do_dropout,
                                     rng=rng, apply_final=False,
+                                    trainable=trainable,
                                     interpret=interpret)
     features = features.astype(jnp.float32)
     batch = features.shape[0]

@@ -292,6 +292,35 @@ class Experiment:
                    pretrain: bool = False) -> Tuple[TrainState, jnp.ndarray]:
         return self.train_step_fn(state, batch, rng, pretrain)
 
+    def _packed_val_apply(self, params, data):
+        """Gradient-free packed forward for the validation step: the
+        same fused banded pipeline as inference (norms/activations ride
+        conv prologues/epilogues), escaping the collapsed small-batch
+        XLA conv regime the training step already escaped. Returns what
+        ``model.apply`` returns (logits | (mu, s) | LowRankMVN)."""
+        from ..models.ensemble_unet3d_pallas import (
+            packed_ssn_train_forward, packed_train_forward)
+        cast = (lambda t: t.astype(jnp.bfloat16)) if self.mixed_bf16 \
+            else (lambda t: t)
+        p = jax.tree_util.tree_map(cast, params)
+        data = cast(data)
+        interpret = jax.devices()[0].platform != "tpu"
+        if self.is_ssn:
+            return packed_ssn_train_forward(
+                p, data, num_classes=self.num_classes,
+                rank=self.model.rank, epsilon=self.model.epsilon,
+                trainable=False, interpret=interpret)
+        out = packed_train_forward(p, data, trainable=False,
+                                   interpret=interpret)
+        if self.aleatoric_loss:
+            return out  # (mu, s)
+        return out
+
+    def _use_packed_val(self, data) -> bool:
+        from ..ops.pallas.conv3d import LANES
+        return (self.train_backend == "packed" and not self.is_2d
+                and LANES % data.shape[3] == 0)
+
     @functools.partial(jax.jit, static_argnums=(0,))
     def val_step(self, params, model_state, batch: Dict,
                  rng: jax.Array) -> Dict[str, jnp.ndarray]:
@@ -302,8 +331,10 @@ class Experiment:
         if self.needs_dropout_rng:
             rng, dropout_rng = jax.random.split(rng)
             apply_kwargs["rngs"] = {"dropout": dropout_rng}
+        use_packed = self._use_packed_val(data)
         if self.is_ssn:
-            dist = self.model.apply(variables, data, **apply_kwargs)
+            dist = (self._packed_val_apply(params, data) if use_packed
+                    else self.model.apply(variables, data, **apply_kwargs))
             samples = dist.rsample(rng, (self.n_aleatoric_samples,))
             event = (self.num_classes,) + data.shape[1:-1]
             logit_samples = samples.reshape(
@@ -317,7 +348,9 @@ class Experiment:
                                        num_classes=self.num_classes))(labels)
             return {"val_loss": loss, "val_dice": jnp.mean(dices)}
         if self.aleatoric_loss:
-            mu, s = self.model.apply(variables, data, **apply_kwargs)
+            mu, s = (self._packed_val_apply(params, data) if use_packed
+                     else self.model.apply(variables, data,
+                                           **apply_kwargs))
             mu_cf, s_cf = _to_channel_first(mu), _to_channel_first(s)
             loss = L.aleatoric_sampling_loss(
                 mu_cf, s_cf, target, rng,
@@ -325,7 +358,8 @@ class Experiment:
             dice = M.dice_score(mu_cf, target,
                                 ignore_index=self.ignore_index)
             return {"val_loss": loss, "val_dice": dice}
-        logits = self.model.apply(variables, data, **apply_kwargs)
+        logits = (self._packed_val_apply(params, data) if use_packed
+                  else self.model.apply(variables, data, **apply_kwargs))
         logits_cf = _to_channel_first(logits)
         loss = L.dice_ce_loss(logits_cf, target,
                               ignore_index=self.ignore_index)
