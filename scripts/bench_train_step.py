@@ -37,7 +37,13 @@ def main():
     # analytic FLOPs: forward conv MACs of UNet3D f8 at 64^3 per volume,
     # x3 for fwd + bwd-data + bwd-weights (standard training cost model)
     FWD_GFLOP_PER_VOL = 7.54  # 37.7 GFLOP / 5 members (bench.py model)
-    peak_tf = 197.0 if "v5" in str(jax.devices()[0]).lower() else 197.0
+    # bf16 peak TFLOP/s per chip by family (public spec sheets); MFU is
+    # meaningless against the wrong peak, so unknown devices fall back
+    # to v5e and say so in the printed label
+    dev = str(jax.devices()[0]).lower()
+    peaks = {"v6e": 918.0, "v5p": 459.0, "v5e": 197.0,
+             "v5 lite": 197.0, "v4": 275.0}
+    peak_tf = next((p for k, p in peaks.items() if k in dev), 197.0)
 
     for precision, backend in (("32", "xla"), ("bf16", "xla"),
                                ("32", "packed"), ("bf16", "packed")):

@@ -348,3 +348,37 @@ def test_engine_sample_strategy_tta(tmp_path):
     out = eng_sharded.run_volume(volume)
     np.testing.assert_allclose(out[0], ref[0], atol=2e-5)  # softmax sums
     np.testing.assert_allclose(out[1], ref[1], atol=1e-6)  # counts
+
+
+def test_tta_pass_predictor_traces_one_forward_per_pass():
+    """Regression: lax.switch over whole TTA forwards under jax.vmap
+    executes EVERY branch (vmap batches the index -> eval-all +
+    select_n), i.e. 16 model forwards per pass. The predictor must
+    lower to ~one (vmapped) forward total: the HLO convolution count
+    must stay within 2x a single model forward's count."""
+    from values_tpu.inference.predictors import (
+        make_pass_range_predictor, total_passes)
+    model = UNet3D(num_classes=2, initial_filter_size=2)
+    x = jnp.zeros((1, P, P, P, 1), jnp.float32)
+    members = [jax.jit(model.init)(jax.random.PRNGKey(s), x)
+               for s in range(2)]
+    stacked = stack_params(members)
+    rng = jax.random.PRNGKey(0)
+
+    def count_convs(txt):
+        return txt.count("stablehlo.convolution") + txt.count(
+            " convolution(")
+
+    single = jax.jit(lambda v, xx: model.apply(v, xx)).lower(
+        members[0], x).as_text()
+    n_single = count_convs(single)
+
+    local = make_pass_range_predictor(model, "tta", 2)
+    n_total = total_passes("tta", 2, 1, 10)
+    fn = jax.jit(lambda v, xx, key: local(v, xx, key, 0, n_total))
+    hlo = fn.lower(stacked, x, rng).as_text()
+    n_tta = count_convs(hlo)
+    assert n_single > 0
+    assert n_tta <= 2 * n_single, (
+        f"TTA predictor traces {n_tta} convolutions vs {n_single} for a "
+        "single forward — branch blowup is back")

@@ -212,9 +212,9 @@ class SlidingWindowEngine:
                 model, mode, self.n_models, n_pred, n_aleatoric_samples)
 
         if self.mesh_strategy == "sample":
-            self._setup_sample_sharding(use_grouped_ensemble)
+            self._setup_sample_sharding()
 
-    def _setup_sample_sharding(self, grouped: bool) -> None:
+    def _setup_sample_sharding(self) -> None:
         """Shard the global stochastic-pass space (members x MC passes,
         TTA variants, aleatoric/SSN samples) over the mesh ``sample``
         axis; params replicate (parallel.mesh.make_parallel_pass_predict,

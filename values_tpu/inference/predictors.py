@@ -225,26 +225,32 @@ def make_pass_range_predictor(model, mode: str, n_models: int,
             noise = jax.random.normal(noise_key, x.shape, dtype=x.dtype)
             x_noise = x + noise * variance
 
-            def variant(inp, axes, variables, key):
-                flipped = jnp.flip(inp, axis=axes) if axes else inp
-                out = _apply_softmax(model, variables, flipped, key,
-                                     stochastic)
-                return jnp.flip(out, axis=axes) if axes else out
+            # All 16 input variants are materialized ONCE (they are
+            # pass-independent, cheap elementwise flips) and each pass
+            # gathers its own — the model forward stays vmapped and runs
+            # exactly once per pass. The earlier lax.switch over whole
+            # forwards executed EVERY branch under vmap's batching rule
+            # (switch with a batched index lowers to eval-all +
+            # select_n): 16x wasted model forwards per pass. Only the
+            # cheap output unflip stays a switch (8 elementwise flips).
+            flip_axes = ((),) + tuple(FLIP_COMBOS)
+            variants = jnp.stack(
+                [jnp.flip(src, axis=axes) if axes else src
+                 for src in (x, x_noise) for axes in flip_axes])
 
-            branches = []
-            for noisy in (0, 1):
-                for axes in ((),) + tuple(FLIP_COMBOS):
-                    branches.append(
-                        lambda vb, key, noisy=noisy, axes=axes: variant(
-                            x_noise if noisy else x, axes, vb, key))
+            unflip = [lambda o, axes=axes: (jnp.flip(o, axis=axes)
+                                            if axes else o)
+                      for axes in flip_axes]
 
             def per_pass(i):
                 p = pass_start + i
                 m = p // 16
                 v = p % 16
-                return jax.lax.switch(
-                    v, branches, member(stacked_variables, m),
-                    jax.random.fold_in(drop_key, p))
+                inp = jax.lax.dynamic_index_in_dim(variants, v, 0, False)
+                out = _apply_softmax(model, member(stacked_variables, m),
+                                     inp, jax.random.fold_in(drop_key, p),
+                                     stochastic)
+                return jax.lax.switch(v % 8, unflip, out)
             return jax.vmap(per_pass)(jnp.arange(n_local)), None
         return predict
 

@@ -49,9 +49,9 @@ def score_rows() -> List[str]:
 # this is what lets a 50-sample aleatoric ensemble score batch-128
 # pools without holding 50 volumes.
 
-def _guarded_plogp(p):
-    val = p * jnp.log(p)
-    return jnp.where(jnp.isnan(val), 0.0, val)
+# the NaN-guarded p*log(p) (reference 0*log 0 semantics) is shared with
+# the packed-stats consumers — one definition only
+_guarded_plogp = packed_stats._guarded_plogp
 
 
 def streaming_update(carry, probs, class_axis: int = -2):
@@ -310,9 +310,17 @@ def make_packed_dropout_scorer(members: int, patch: int, *,
 
         nb = xp.shape[0]
         d, h = xp.shape[1], xp.shape[2]
-        # per-member class count from the stacked (members-fused) head
-        head = stacked_variables["params"].get(
-            "final", stacked_variables["params"].get("final_aleatoric"))
+        # per-member class count from the stacked (members-fused) head.
+        # Aleatoric trees must go through make_packed_aleatoric_scorer:
+        # softmaxing over the concatenated (mu, log-var) channels would
+        # silently produce 2C fake classes.
+        head = stacked_variables["params"].get("final")
+        if head is None:
+            if "final_aleatoric" in stacked_variables["params"]:
+                raise ValueError(
+                    "aleatoric-head ensemble passed to the MC-dropout "
+                    "scorer; use make_packed_aleatoric_scorer")
+            raise ValueError("stacked tree has no 'final' head")
         num_classes = head["bias"].shape[-1] // members
         zero_p = jnp.zeros((nb, d, h, num_classes, LANES), jnp.float32)
         zero_e = jnp.zeros((nb, d, h, LANES), jnp.float32)

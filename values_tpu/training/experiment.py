@@ -310,11 +310,10 @@ class Experiment:
                 p, data, num_classes=self.num_classes,
                 rank=self.model.rank, epsilon=self.model.epsilon,
                 trainable=False, interpret=interpret)
-        out = packed_train_forward(p, data, trainable=False,
-                                   interpret=interpret)
-        if self.aleatoric_loss:
-            return out  # (mu, s)
-        return out
+        # returns logits, or (mu, s) when the tree carries the
+        # aleatoric head
+        return packed_train_forward(p, data, trainable=False,
+                                    interpret=interpret)
 
     def _use_packed_val(self, data) -> bool:
         from ..ops.pallas.conv3d import LANES

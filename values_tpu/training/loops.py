@@ -318,6 +318,16 @@ def fit(cfg: Config, max_steps_override: Optional[int] = None,
         if is_main_process:
             logger.log_scalars(val_means, global_step)
         val_loss = val_means.get("validation/val_loss", train_loss)
+        if jax.process_count() > 1:
+            # the plateau-LR decision and the retention top-k decision
+            # must be process-uniform: val batches are staged replicated,
+            # but any host-side float drift here would desynchronize the
+            # collective orbax barrier sequence (a hang) or the learning
+            # rates (param divergence) — pin every process to process
+            # 0's value
+            from jax.experimental import multihost_utils
+            val_loss = float(multihost_utils.broadcast_one_to_all(
+                np.float32(val_loss)))
         print(f"epoch {epoch}: train_loss={train_loss:.4f} "
               + " ".join(f"{k.split('/')[-1]}={v:.4f}"
                          for k, v in val_means.items())
