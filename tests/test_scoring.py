@@ -297,3 +297,26 @@ def test_packed_ssn_scorer_matches_flax_composition():
                      np.asarray(agg["image_level"]),
                      np.asarray(agg["threshold"])])
     np.testing.assert_allclose(got, np.stack(want), atol=5e-3, rtol=5e-3)
+
+
+def test_packed_dropout_scorer_rejects_aleatoric_tree():
+    """Aleatoric trees must be rejected (softmax over concatenated
+    (mu, log-var) channels would silently fake 2C classes)."""
+    import pytest
+    from values_tpu.inference.scoring import make_packed_dropout_scorer
+
+    base = UNet3D(num_classes=2, initial_filter_size=4,
+                  aleatoric_loss=True, do_dropout=True)
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    stacked = group_member_variables(
+        [base.init(k, jnp.zeros((1, PATCH, PATCH, PATCH, 1)))
+         for k in keys])
+    score, _ = make_packed_dropout_scorer(2, PATCH, n_pred=2,
+                                          dtype=jnp.float32,
+                                          interpret=True)
+    rs = np.random.RandomState(0)
+    vols = jnp.asarray(rs.rand(B, PATCH, PATCH, PATCH, 1)
+                       .astype(np.float32))
+    gt = jnp.zeros((B, PATCH, PATCH, PATCH), jnp.int32)
+    with pytest.raises(ValueError, match="aleatoric"):
+        score(stacked, vols, gt, jax.random.PRNGKey(1))
