@@ -67,10 +67,12 @@ def _build_scorer(hparams: Dict, model, members: int, args, interpret):
                   dtype=dtype, interpret=interpret)
     is_ssn = isinstance(model, SsnUNet3D) and members == 1
     if is_ssn:
+        # --n_pred overrides the training-time sample count (reference
+        # test_3D.py: SSN draws n_pred samples per volume)
+        n_pred = (args.n_pred if args.n_pred > 1
+                  else hparams.get("n_aleatoric_samples", 10))
         return scoring.make_packed_ssn_scorer(
-            model.num_classes, members, patch,
-            n_pred=max(args.n_pred,
-                       hparams.get("n_aleatoric_samples", 10)),
+            model.num_classes, members, patch, n_pred=n_pred,
             rank=model.rank, epsilon=model.epsilon, **common)
     if args.tta:
         return scoring.make_packed_tta_scorer(members, patch, **common)
