@@ -82,24 +82,23 @@ def main(workdir: str) -> None:
     scoring_vps = None
     if on_tpu:
         import jax.numpy as jnp
-        from values_tpu.core import nifti
         from values_tpu.inference.scoring import make_packed_scorer
         from values_tpu.models.ensemble_unet3d import group_member_variables
-        from values_tpu.models.unet3d import UNet3D
         from values_tpu.training.checkpoint import load_any_checkpoint
         member_vars = []
         for c in ckpts:
             hparams, variables = load_any_checkpoint(c)
             member_vars.append(variables)
         stacked = group_member_variables(member_vars)
-        imgs = sorted((case / "imagesTs").glob("*.nii.gz"))[:8]
-        labs = [case / "labelsTs" / f"{p.name.split('.')[0]}_00.nii.gz"
+        # the PREPROCESSED (z-scored) volumes the model was trained on
+        pre = case / "preprocessed"
+        imgs = sorted((pre / "imagesTs").glob("*.npy"))[:8]
+        labs = [pre / "labelsTs" / f"{p.name.split('.')[0]}_00.npy"
                 for p in imgs]
         vols = jnp.asarray(np.stack(
-            [nifti.load(str(p))[0] for p in imgs])[..., None],
-            jnp.float32)
+            [np.load(str(p)) for p in imgs])[..., None], jnp.float32)
         gt = jnp.asarray(np.stack(
-            [nifti.load(str(p))[0] for p in labs]).astype(np.int32))
+            [np.load(str(p)) for p in labs]).astype(np.int32))
         score, rows = make_packed_scorer(len(ckpts), 64)
         out = np.asarray(score(stacked, vols, gt, jax.random.PRNGKey(0)))
         t0 = time.time()

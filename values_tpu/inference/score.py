@@ -46,7 +46,10 @@ def score_cli(argv=None) -> argparse.Namespace:
     parser.add_argument("--out", type=str, required=True,
                         help="output JSON path")
     parser.add_argument("--test_split", type=str, default="id")
-    parser.add_argument("--n_pred", type=int, default=1)
+    parser.add_argument("--n_pred", type=int, default=None,
+                        help="stochastic passes (MC dropout) / SSN "
+                        "samples; default: 1 MC pass, the checkpoint's "
+                        "n_aleatoric_samples for SSN")
     parser.add_argument("--test_time_augmentations", "-tta", dest="tta",
                         action="store_true")
     parser.add_argument("--batch_size", type=int, default=32,
@@ -65,23 +68,34 @@ def _build_scorer(hparams: Dict, model, members: int, args, interpret):
     patch = hparams["datamodule"]["patch_size"]
     common = dict(agg_patch=args.agg_patch, threshold=args.threshold,
                   dtype=dtype, interpret=interpret)
-    is_ssn = isinstance(model, SsnUNet3D) and members == 1
-    if is_ssn:
+    if isinstance(model, SsnUNet3D):
         # --n_pred overrides the training-time sample count (reference
-        # test_3D.py: SSN draws n_pred samples per volume)
-        n_pred = (args.n_pred if args.n_pred > 1
+        # test_3D.py: SSN draws n_pred samples per volume); the SSN
+        # scorer streams member by member, so ensembles work too
+        n_pred = (args.n_pred if args.n_pred
                   else hparams.get("n_aleatoric_samples", 10))
         return scoring.make_packed_ssn_scorer(
             model.num_classes, members, patch, n_pred=n_pred,
             rank=model.rank, epsilon=model.epsilon, **common)
     if args.tta:
-        return scoring.make_packed_tta_scorer(members, patch, **common)
+        if getattr(model, "aleatoric_loss", False):
+            raise ValueError(
+                "TTA on an aleatoric-head checkpoint is not a reference "
+                "C1 family; drop -tta or use values_tpu.inference.test_3d")
+        # reference TTA runs dropout live per variant when the model has it
+        return scoring.make_packed_tta_scorer(
+            members, patch,
+            do_dropout=bool(getattr(model, "do_dropout", False)), **common)
     if getattr(model, "aleatoric_loss", False):
         return scoring.make_packed_aleatoric_scorer(
             members, patch,
             n_aleatoric_samples=hparams.get("n_aleatoric_samples", 10),
             **common)
-    if args.n_pred > 1 and getattr(model, "do_dropout", False):
+    if args.n_pred and args.n_pred > 1:
+        if not getattr(model, "do_dropout", False):
+            raise ValueError(
+                "--n_pred > 1 needs a dropout model (MC dropout); this "
+                "checkpoint's model has do_dropout=False")
         return scoring.make_packed_dropout_scorer(
             members, patch, n_pred=args.n_pred, **common)
     return scoring.make_packed_scorer(members, patch, **common)
@@ -92,9 +106,12 @@ def run_score(args) -> Dict[str, Dict[str, float]]:
     import jax.numpy as jnp
 
     all_variables = []
+    all_hparams = []
     for path in args.checkpoint_paths:
         hparams, variables = load_any_checkpoint(path)
+        all_hparams.append(hparams)
         all_variables.append(variables)
+    hparams = all_hparams[0]  # first member pins the config (test_3d.run_test)
     set_seed(hparams.get("seed", 123))
 
     is_lidc = "shift_feature" in hparams["datamodule"]
@@ -142,8 +159,11 @@ def run_score(args) -> Dict[str, Dict[str, float]]:
     for i in range(0, len(paths), bs):
         chunk = paths[i:i + bs]
         vols = np.stack([np.load(p).astype(np.float32) for p in chunk])
-        gt = np.stack([np.load(by_image[p][0]["label_paths"][0])
-                       for p in chunk]).astype(np.int32)
+        # all raters: the dice row is the reference's mean-over-raters
+        gt = np.stack([
+            np.stack([np.load(lp)
+                      for lp in by_image[p][0]["label_paths"]])
+            for p in chunk]).astype(np.int32)
         out = np.asarray(score(stacked, jnp.asarray(vols[..., None]),
                                jnp.asarray(gt),
                                jax.random.fold_in(rng, i)))

@@ -90,12 +90,26 @@ def _pad_batch(volumes: jnp.ndarray, gt: jnp.ndarray, bp: int):
     return volumes, gt, b
 
 
+def _packed_mean_rater_dice(seg, gt, bp, ignore_index):
+    """Micro Dice of the packed argmax seg vs gt (B, D, H, W) — or the
+    mean over raters for gt (B, R, D, H, W), the reference metrics.json
+    semantics (ops/metrics.per_rater_test_metrics, test_3D.py:250-281)."""
+    gt = gt.astype(jnp.int32)
+    if gt.ndim == 5:
+        return jnp.mean(jnp.stack([
+            packed_stats.packed_dice(
+                seg, packed_stats.pack_labels(gt[:, r], bp), bp,
+                ignore_index=ignore_index)
+            for r in range(gt.shape[1])]), axis=0)
+    return packed_stats.packed_dice(
+        seg, packed_stats.pack_labels(gt, bp), bp,
+        ignore_index=ignore_index)
+
+
 def _score_from_stats(stats, gt, bp, *, agg_patch, threshold,
                       ignore_index):
     seg = jnp.argmax(stats["mean_softmax"], axis=-2).astype(jnp.int32)
-    gtp = packed_stats.pack_labels(gt.astype(jnp.int32), bp)
-    rows = [packed_stats.packed_dice(seg, gtp, bp,
-                                     ignore_index=ignore_index)]
+    rows = [_packed_mean_rater_dice(seg, gt, bp, ignore_index)]
     for key in UNC_KEYS:
         agg = packed_stats.packed_aggregate_all(
             stats[key], bp, patch=agg_patch, threshold=threshold)
@@ -113,8 +127,12 @@ def make_packed_scorer(members: int, patch: int, *,
     Returns (score_fn, rows): ``score_fn(stacked_variables, volumes,
     gt, rng) -> (10, B) float32`` where volumes is (B, p, p, p) or
     (B, p, p, p, 1) with B a multiple of ``128 // p`` and gt an
-    integer (B, p, p, p) segmentation. ``stacked_variables`` comes
-    from ensemble_unet3d.group_member_variables.
+    integer (B, p, p, p) segmentation — or (B, R, p, p, p) for R
+    raters, in which case the dice row is the mean over raters
+    (metrics.json semantics, ops/metrics.per_rater_test_metrics).
+    ``stacked_variables`` comes from
+    ensemble_unet3d.group_member_variables. The same gt contract holds
+    for every scorer in this module.
     """
     if LANES % patch:
         raise ValueError(f"patch={patch} must divide {LANES} for the "
@@ -220,6 +238,7 @@ def _unflip_packed(p: jnp.ndarray, axes, w_item: int) -> jnp.ndarray:
 
 
 def make_packed_tta_scorer(members: int, patch: int, *,
+                           do_dropout: bool = False,
                            agg_patch: int = 10, threshold: float = 0.3,
                            ignore_index: int = 0, dtype=jnp.bfloat16,
                            interpret: bool = False
@@ -244,7 +263,7 @@ def make_packed_tta_scorer(members: int, patch: int, *,
         volumes, gt, b = _pad_batch(volumes, gt, bp)
         gv = jax.tree_util.tree_map(lambda a: a.astype(dtype),
                                     stacked_variables)
-        var_key, noise_key = jax.random.split(rng)
+        var_key, noise_key, drop_key = jax.random.split(rng, 3)
         variance = jax.random.uniform(var_key, (), minval=0.0,
                                       maxval=0.1)
         noise = jax.random.normal(noise_key, volumes.shape,
@@ -252,12 +271,18 @@ def make_packed_tta_scorer(members: int, patch: int, *,
         x_noise = volumes + noise * variance
 
         carry = None
+        variant_idx = 0
         for base in (volumes, x_noise):
             for axes in ((),) + tuple(FLIP_COMBOS):
                 xv = jnp.flip(base, axis=list(axes)) if axes else base
                 xp = pack_ndhwc(xv.astype(dtype), bp)
-                logits = grouped_forward_packed(gv, xp, members, patch,
-                                                interpret=interpret)
+                # reference TTA runs dropout LIVE per variant
+                # (PARITY.md "deviations": test_3D TTA x dropout)
+                logits = grouped_forward_packed(
+                    gv, xp, members, patch, do_dropout=do_dropout,
+                    rng=jax.random.fold_in(drop_key, variant_idx),
+                    interpret=interpret)
+                variant_idx += 1
                 p = jax.nn.softmax(logits.astype(jnp.float32), axis=-2)
                 p = _unflip_packed(p, axes, patch)
                 if carry is None:
@@ -419,8 +444,14 @@ def make_packed_ssn_scorer(num_classes: int, members: int, patch: int, *,
         from ..ops.aggregation import aggregate_all
         from ..ops.metrics import dice_from_stats, dice_stats
         seg = jnp.argmax(stats["mean_softmax"], axis=-1).astype(jnp.int32)
-        dice = jax.vmap(lambda a, g: dice_from_stats(
-            *dice_stats(a, g, ignore_index=ignore_index)))(seg, gt)
+        per_rater = jax.vmap(lambda a, g: dice_from_stats(
+            *dice_stats(a, g, ignore_index=ignore_index)))
+        if gt.ndim == 5:  # (B, R, ...): reference mean-over-raters dice
+            dice = jnp.mean(jnp.stack(
+                [per_rater(seg, gt[:, r]) for r in range(gt.shape[1])]),
+                axis=0)
+        else:
+            dice = per_rater(seg, gt)
         rows = [dice]
         for key in UNC_KEYS:
             agg = aggregate_all(stats[key], patch=agg_patch,
