@@ -382,3 +382,35 @@ def test_tta_pass_predictor_traces_one_forward_per_pass():
     assert n_tta <= 2 * n_single, (
         f"TTA predictor traces {n_tta} convolutions vs {n_single} for a "
         "single forward — branch blowup is back")
+
+
+def test_data_parallel_packed_backend_matches_single_device(tmp_path):
+    """train_backend=packed inside the sharded train step: the banded
+    custom-VJP conv (interpret mode on CPU) must compose with shard_map
+    data parallelism — loss and updated params equal the single-device
+    packed step."""
+    cfg = compose("configs", "softmax_config", overrides=[
+        "model.initial_filter_size=2", "datamodule.patch_size=16",
+        "+train_backend=packed",
+        f"data_input_dir={tmp_path}", f"save_dir={tmp_path}"])
+    exp = Experiment(cfg)
+    state = exp.init_state(jax.random.PRNGKey(0), P)
+    rng = jax.random.PRNGKey(1)
+    rs = np.random.RandomState(0)
+    batch = {
+        "data": jnp.asarray(rs.rand(8, P, P, P, 1).astype(np.float32)),
+        "seg": jnp.asarray(rs.randint(0, 2, size=(8, P, P, P))),
+    }
+    state_ref, loss_ref = exp.train_step(state, batch, rng)
+
+    mesh = make_mesh(n_data=4, n_sample=1, devices=jax.devices()[:4])
+    pstate = jax.device_put(exp.init_state(jax.random.PRNGKey(0), P),
+                            replicated(mesh))
+    sharded_batch = {k: jax.device_put(v, batch_sharding(mesh))
+                     for k, v in batch.items()}
+    pstep = make_parallel_train_step(exp, mesh)
+    pstate2, loss_par = pstep(pstate, sharded_batch, rng)
+    assert float(loss_par) == pytest.approx(float(loss_ref), abs=1e-4)
+    k_ref = np.asarray(state_ref.params["final"]["kernel"])
+    k_par = np.asarray(pstate2.params["final"]["kernel"])
+    np.testing.assert_allclose(k_par, k_ref, atol=1e-4)
