@@ -256,22 +256,30 @@ def measure_small_batch_forward(backend: str, batch: int = 16) -> float:
     return batch * repeats / best
 
 
-def measure_train_step(backend: str = "packed", batch: int = 8) -> dict:
+def measure_train_step(backend: str = "packed", batch: int = 8,
+                       ssn: bool = False) -> dict:
     """bf16 training-step throughput (batch 8, 64^3, UNet3D f8, Dice+CE,
     Adam) through the given conv backend; returns ms/step, vol/s and
     train MFU from the analytic FLOP count (fwd+bwd ~ 3x fwd).
     train_backend="packed" routes forward AND backward-data convs through
     the batch-packed banded kernel (custom VJP) — the r3 training-step
-    redesign (measured: 63 ms vs XLA's 115 ms at batch 8)."""
+    redesign (measured: 63 ms vs XLA's 115 ms at batch 8). ``ssn=True``
+    measures the SSN family instead (packed trunk + f32 MVN heads,
+    10-sample MC loglikelihood; MFU counts trunk convs only)."""
     import functools
     import jax
     import jax.numpy as jnp
     from values_tpu.config import make_config
     from values_tpu.training.experiment import Experiment
 
+    model_cfg = {"_target_": "values_tpu.models.unet3d.UNet3D",
+                 "num_classes": 2, "initial_filter_size": 8}
+    if ssn:
+        model_cfg = {"_target_": "values_tpu.models.ssn_unet3d.SsnUNet3D",
+                     "num_classes": 2, "initial_filter_size": 8,
+                     "rank": 10}
     cfg = make_config({
-        "model": {"_target_": "values_tpu.models.unet3d.UNet3D",
-                  "num_classes": 2, "initial_filter_size": 8},
+        "model": model_cfg,
         "datamodule": {"ignore_index": 0},
         "learning_rate": 1e-4, "precision": "bf16", "seed": 1,
         "train_backend": backend,
@@ -460,6 +468,8 @@ def main() -> None:
     small_pallas = guarded(measure_small_batch_forward, "pallas")
     small_xla = guarded(measure_small_batch_forward, "xla")
     train_packed = guarded(measure_train_step, "packed", fallback={})
+    train_ssn_packed = guarded(measure_train_step, "packed", fallback={},
+                               ssn=True)
     aleatoric_vps = guarded(measure_streaming_aleatoric)
     print(json.dumps({
         "metric": "lidc_ensemble5_entropy_inference_throughput",
@@ -480,6 +490,8 @@ def main() -> None:
         "window_batch16_xla_volumes_per_sec": round(small_xla, 1),
         # bf16 training step, batch 8, packed custom-VJP conv backend
         "train_step_packed_bf16": train_packed,
+        # SSN family through the same backend (packed trunk + MVN heads)
+        "ssn_train_step_packed_bf16": train_ssn_packed,
         # heaviest sampling family: aleatoric ensemble, 50 softmax
         # samples/volume accumulated streamingly in the packed layout
         "aleatoric50_streaming_volumes_per_sec": round(aleatoric_vps, 1),
