@@ -44,10 +44,14 @@ class LowRankMVN:
 
     def _degenerate_factor(self) -> jnp.ndarray:
         """Per-batch flag reproducing torch's constructor failure: the
-        capacitance matrix I + W^T D^-1 W must admit a Cholesky."""
-        w_d = self.cov_factor / self.cov_diag[..., None]
-        cap = (jnp.eye(self.cov_factor.shape[-1], dtype=self.mean.dtype)
-               + jnp.einsum("bnr,bns->brs", w_d, self.cov_factor))
+        capacitance matrix I + W^T D^-1 W must admit a Cholesky. The
+        check always runs in float32: a bf16 Cholesky has no CPU kernel
+        and its rounding would flip the degeneracy verdict (mixed-
+        precision training keeps the factor itself in bf16)."""
+        f32 = lambda t: t.astype(jnp.float32)
+        w_d = f32(self.cov_factor) / f32(self.cov_diag)[..., None]
+        cap = (jnp.eye(self.cov_factor.shape[-1], dtype=jnp.float32)
+               + jnp.einsum("bnr,bns->brs", w_d, f32(self.cov_factor)))
         chol = jnp.linalg.cholesky(cap)
         return ~jnp.all(jnp.isfinite(chol), axis=(-2, -1))  # (B,)
 
