@@ -349,3 +349,34 @@ def test_packed_val_step_matches_xla(family):
     for k in out["xla"]:
         np.testing.assert_allclose(out["packed"][k], out["xla"][k],
                                    rtol=2e-3, err_msg=k)
+
+
+@pytest.mark.slow
+def test_ssn_bf16_training_step_runs():
+    """Regression: with precision=bf16 the LowRankMVN degeneracy check
+    ran a bfloat16 Cholesky (no CPU kernel -> crash; garbage rounding
+    on TPU). The check must upcast to f32; one bf16 SSN train+val step
+    must produce finite numbers."""
+    from values_tpu.config import make_config
+    from values_tpu.training.experiment import Experiment
+
+    cfg = make_config({
+        "model": {"_target_": "values_tpu.models.ssn_unet3d.SsnUNet3D",
+                  "num_classes": 2, "initial_filter_size": 4, "rank": 3},
+        "datamodule": {"ignore_index": 0},
+        "learning_rate": 1e-3, "seed": 1, "precision": "bf16",
+        "n_aleatoric_samples": 2,
+    })
+    exp = Experiment(cfg)
+    state = exp.init_state(jax.random.PRNGKey(0), 16, 1)
+    rs = np.random.RandomState(0)
+    batch = {
+        "data": jnp.asarray(rs.rand(2, 16, 16, 16, 1).astype(np.float32)),
+        "seg": jnp.asarray((rs.rand(2, 16, 16, 16) > 0.5)
+                           .astype(np.int32)),
+    }
+    state, loss = exp.train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    out = exp.val_step(state.params, state.model_state, batch,
+                       jax.random.PRNGKey(2))
+    assert all(np.isfinite(float(v)) for v in out.values())
