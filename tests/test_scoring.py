@@ -320,3 +320,34 @@ def test_packed_dropout_scorer_rejects_aleatoric_tree():
     gt = jnp.zeros((B, PATCH, PATCH, PATCH), jnp.int32)
     with pytest.raises(ValueError, match="aleatoric"):
         score(stacked, vols, gt, jax.random.PRNGKey(1))
+
+
+def test_per_unc_threshold_triple_matches_scalar_calls():
+    """A (PE, EE, MI) threshold triple must reproduce three scalar-
+    threshold scorer runs' respective rows (reference per-class
+    threshold_analysis.json scheme)."""
+    from values_tpu.inference.scoring import make_packed_scorer
+
+    base = UNet3D(num_classes=2, initial_filter_size=4)
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    stacked = group_member_variables(
+        [base.init(k, jnp.zeros((1, PATCH, PATCH, PATCH, 1)))
+         for k in keys])
+    rs = np.random.RandomState(4)
+    vols = jnp.asarray(rs.rand(B, PATCH, PATCH, PATCH, 1)
+                       .astype(np.float32))
+    gt = jnp.asarray((rs.rand(B, PATCH, PATCH, PATCH) > 0.7)
+                     .astype(np.int32))
+    rng = jax.random.PRNGKey(1)
+    thr = (0.25, 0.4, 0.05)
+    score_t, rows = make_packed_scorer(2, PATCH, agg_patch=4,
+                                       threshold=thr,
+                                       dtype=jnp.float32, interpret=True)
+    got = np.asarray(score_t(stacked, vols, gt, rng))
+    for i, t in enumerate(thr):
+        score_s, _ = make_packed_scorer(2, PATCH, agg_patch=4,
+                                        threshold=t, dtype=jnp.float32,
+                                        interpret=True)
+        want = np.asarray(score_s(stacked, vols, gt, rng))
+        r = rows.index(f"{['pred_entropy','expected_entropy','mutual_information'][i]}/threshold")
+        np.testing.assert_allclose(got[r], want[r], atol=1e-6)

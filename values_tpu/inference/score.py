@@ -55,7 +55,16 @@ def score_cli(argv=None) -> argparse.Namespace:
     parser.add_argument("--batch_size", type=int, default=32,
                         help="volumes per compiled step")
     parser.add_argument("--agg_patch", type=int, default=10)
-    parser.add_argument("--threshold", type=float, default=0.3)
+    parser.add_argument("--threshold", type=float, default=0.3,
+                        help="scalar threshold for all three "
+                        "uncertainty classes (ignored with "
+                        "--threshold_path)")
+    parser.add_argument("--threshold_path", type=str, default=None,
+                        help="threshold_analysis.json from "
+                        "evaluation.find_threshold: per-class "
+                        "thresholds keyed by --pred_model")
+    parser.add_argument("--pred_model", type=str, default="Ensemble",
+                        help="threshold_analysis.json row to use")
     parser.add_argument("--dtype", type=str, default="bfloat16",
                         choices=["bfloat16", "float32"])
     return parser.parse_args(argv)
@@ -66,7 +75,15 @@ def _build_scorer(hparams: Dict, model, members: int, args, interpret):
     from . import scoring
     dtype = jnp.dtype(args.dtype)
     patch = hparams["datamodule"]["patch_size"]
-    common = dict(agg_patch=args.agg_patch, threshold=args.threshold,
+    threshold = args.threshold
+    if args.threshold_path:
+        # per-class thresholds, reference scheme: "Mean <class> threshold"
+        # with PE->predictive, EE->aleatoric, MI->epistemic
+        with open(args.threshold_path) as f:
+            tj = json.load(f)[args.pred_model]
+        threshold = tuple(tj[f"Mean {c} threshold"]
+                          for c in ("predictive", "aleatoric", "epistemic"))
+    common = dict(agg_patch=args.agg_patch, threshold=threshold,
                   dtype=dtype, interpret=interpret)
     if isinstance(model, SsnUNet3D):
         # --n_pred overrides the training-time sample count (reference

@@ -106,13 +106,26 @@ def _packed_mean_rater_dice(seg, gt, bp, ignore_index):
         ignore_index=ignore_index)
 
 
+def _per_unc_thresholds(threshold):
+    """A scalar threshold applies to all three uncertainty classes; a
+    3-sequence is keyed by UNC_KEYS order (PE, EE, MI) — the
+    reference's per-(pred_model, unc-class) threshold_analysis.json
+    scheme (aggregate_uncertainties.py:73-91)."""
+    if isinstance(threshold, (tuple, list)):
+        if len(threshold) != len(UNC_KEYS):
+            raise ValueError(f"need {len(UNC_KEYS)} thresholds "
+                             f"(PE, EE, MI), got {len(threshold)}")
+        return tuple(float(t) for t in threshold)
+    return (float(threshold),) * len(UNC_KEYS)
+
+
 def _score_from_stats(stats, gt, bp, *, agg_patch, threshold,
                       ignore_index):
     seg = jnp.argmax(stats["mean_softmax"], axis=-2).astype(jnp.int32)
     rows = [_packed_mean_rater_dice(seg, gt, bp, ignore_index)]
-    for key in UNC_KEYS:
+    for key, thr in zip(UNC_KEYS, _per_unc_thresholds(threshold)):
         agg = packed_stats.packed_aggregate_all(
-            stats[key], bp, patch=agg_patch, threshold=threshold)
+            stats[key], bp, patch=agg_patch, threshold=thr)
         rows.extend(agg[a] for a in AGG_KEYS)
     return jnp.stack(rows)
 
@@ -453,9 +466,9 @@ def make_packed_ssn_scorer(num_classes: int, members: int, patch: int, *,
         else:
             dice = per_rater(seg, gt)
         rows = [dice]
-        for key in UNC_KEYS:
+        for key, thr in zip(UNC_KEYS, _per_unc_thresholds(threshold)):
             agg = aggregate_all(stats[key], patch=agg_patch,
-                                threshold=threshold)
+                                threshold=thr)
             rows.extend(agg[a] for a in AGG_KEYS)
         return jnp.stack(rows)[:, :b]
 
