@@ -351,6 +351,57 @@ def measure_reference_torch_cpu(n_volumes: int = 2) -> float:
         return 0.0
 
 
+def probe_backend(attempts: int = 3, backoff_s: float = 20.0,
+                  timeout_s: float = 150.0, code: str | None = None
+                  ) -> tuple:
+    """Verify the JAX backend can initialize and run a trivial program
+    before committing to the full benchmark.
+
+    The TPU in this container is reached through a relay tunnel that can
+    be transiently down; in round 3 a half-hung connect even blocked
+    ``import jax`` in a nanosleep loop. The probe therefore runs in a
+    SUBPROCESS with a hard timeout, so both failure modes — an
+    UNAVAILABLE backend error and an import hang — become retriable
+    failures with exponential backoff instead of a driver-visible
+    traceback. Returns ``(ok, detail)``.
+    """
+    import subprocess
+    import sys
+    if code is None:
+        code = ("import jax, jax.numpy as jnp; "
+                "print(float(jnp.ones((4, 4)).sum()))")
+    detail = ""
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True,
+                               timeout=timeout_s)
+            if r.returncode == 0:
+                return True, ""
+            detail = (r.stderr or r.stdout).strip()[-500:]
+        except subprocess.TimeoutExpired:
+            detail = (f"probe timed out after {timeout_s:.0f}s "
+                      "(hung backend init)")
+        if i + 1 < attempts:
+            time.sleep(backoff_s * (2 ** i))
+    return False, detail
+
+
+def emit_unavailable(detail: str, attempts: int) -> None:
+    """One well-formed JSON record distinguishing an environment outage
+    from a performance regression (round-3 VERDICT: an rc=1 traceback
+    record could not tell the two apart)."""
+    print(json.dumps({
+        "metric": "lidc_ensemble5_entropy_inference_throughput",
+        "value": 0.0,
+        "unit": "volumes/sec/chip",
+        "vs_baseline": 0.0,
+        "error": "backend_unavailable",
+        "detail": detail,
+        "probe_attempts": attempts,
+    }))
+
+
 def main() -> None:
     import os
     import jax
@@ -504,4 +555,24 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import os
+    import sys
+    _attempts = int(os.environ.get("VALUES_TPU_BENCH_PROBE_ATTEMPTS", "3"))
+    _timeout = float(os.environ.get("VALUES_TPU_BENCH_PROBE_TIMEOUT", "150"))
+    _backoff = float(os.environ.get("VALUES_TPU_BENCH_PROBE_BACKOFF", "20"))
+    _code = os.environ.get("VALUES_TPU_BENCH_PROBE_CODE")  # test hook
+    if os.environ.get("VALUES_TPU_BENCH_NO_PROBE") != "1":
+        _ok, _detail = probe_backend(attempts=_attempts,
+                                     backoff_s=_backoff,
+                                     timeout_s=_timeout, code=_code)
+        if not _ok:
+            emit_unavailable(_detail, _attempts)
+            sys.exit(0)
+    try:
+        main()
+    except RuntimeError as exc:  # late outage (backend died mid-bench)
+        msg = str(exc)
+        if "UNAVAILABLE" in msg or "backend" in msg.lower():
+            emit_unavailable(msg[-500:], _attempts)
+            sys.exit(0)
+        raise

@@ -85,6 +85,49 @@ def test_aurc_ties_handling():
     confids = np.array([0.5, 0.5, 0.5, 0.5])  # all tied
     a = AURC.aurc(risks, confids)
     assert np.isfinite(a) and a > 0
+    # all tied => one point after the first drop, then the trailing
+    # zero-coverage point absorbing the remaining two drops
+    cov, sel, w = AURC.rc_curve_stats(risks, confids)
+    assert cov == [1.0, 0.75, 0.0] and w == [0.25, 0.5]
+
+
+def _rc_curve_simulation(risks, confids):
+    """Independent drop-by-drop simulation of the RC-curve contract, used
+    as an oracle for the vectorized rc_curve_stats."""
+    n = len(risks)
+    order = np.argsort(confids)
+    kept = list(order)
+    cov = [1.0]
+    sel = [float(np.sum(risks)) / n]
+    w = []
+    pending = 0
+    for step, drop in enumerate(order[:-1]):
+        kept.remove(drop)
+        pending += 1
+        starts_group = step == 0 or confids[drop] != confids[order[step - 1]]
+        if starts_group:
+            cov.append(len(kept) / n)
+            sel.append(float(np.sum(risks[kept])) / len(kept))
+            w.append(pending / n)
+            pending = 0
+    if pending:
+        cov.append(0.0)
+        sel.append(sel[-1])
+        w.append(pending / n)
+    return cov, sel, w
+
+
+def test_rc_curve_stats_matches_simulation():
+    rng = np.random.RandomState(0)
+    for trial in range(20):
+        n = rng.randint(1, 40)
+        risks = rng.rand(n)
+        # mix of unique and tied confidences (quantized draws create ties)
+        confids = np.round(rng.rand(n), 1 if trial % 2 else 8)
+        got = AURC.rc_curve_stats(risks, confids)
+        want = _rc_curve_simulation(risks, confids)
+        for g, e in zip(got, want):
+            np.testing.assert_allclose(g, e, atol=1e-12)
 
 
 # ---------------------------------------------------------------------

@@ -20,32 +20,53 @@ from ..experiment_dataloader import ExperimentDataloader
 
 def rc_curve_stats(risks: np.ndarray, confids: np.ndarray
                    ) -> Tuple[List[float], List[float], List[float]]:
-    assert (len(risks.shape) == 1 and len(confids.shape) == 1
-            and len(risks) == len(confids))
-    n_samples = len(risks)
-    idx_sorted = np.argsort(confids)
+    """Selective risk-coverage curve points, vectorized over sorted
+    confidence-group boundaries.
 
-    coverage = n_samples
-    error_sum = float(sum(risks[idx_sorted]))
-    coverages = [coverage / n_samples]
-    selective_risks = [error_sum / n_samples]
+    Semantics (the contract the reference's sequential loop implements,
+    evaluation/metrics/aurc.py:14-58): walk samples in ascending-confidence
+    order, dropping one at a time; a curve point is recorded after each drop
+    that begins a new confidence value, carrying the coverage and mean risk
+    of the samples still retained plus a weight counting the drops since the
+    previous point. Any drops left over past the final recorded point (ties
+    at the top of the confidence range) collapse into a trailing
+    zero-coverage point repeating the last selective risk.
+    """
+    risks = np.asarray(risks, dtype=float)
+    confids = np.asarray(confids, dtype=float)
+    assert (risks.ndim == 1 and confids.ndim == 1
+            and risks.size == confids.size)
+    n = risks.size
+    order = np.argsort(confids)
+    r_sorted = risks[order]
+    c_sorted = confids[order]
+
+    total = float(r_sorted.sum())
+    coverages = [1.0]
+    selective_risks = [total / n]
     weights: List[float] = []
+    if n < 2:
+        return coverages, selective_risks, weights
 
-    tmp_weight = 0
-    for i in range(0, len(idx_sorted) - 1):
-        coverage -= 1
-        error_sum -= risks[idx_sorted[i]]
-        tmp_weight += 1
-        if i == 0 or confids[idx_sorted[i]] != confids[idx_sorted[i - 1]]:
-            coverages.append(coverage / n_samples)
-            selective_risks.append(error_sum / (n_samples - 1 - i))
-            weights.append(tmp_weight / n_samples)
-            tmp_weight = 0
+    # Drops happen at positions 0..n-2 (the highest-confidence sample is
+    # never dropped). Position i records a point iff it starts a new
+    # confidence value.
+    new_group = np.empty(n - 1, dtype=bool)
+    new_group[0] = True
+    np.not_equal(c_sorted[1:n - 1], c_sorted[:n - 2], out=new_group[1:])
+    pts = np.flatnonzero(new_group)
 
-    if tmp_weight > 0:
-        coverages.append(0)
+    retained = n - 1 - pts
+    risk_after = total - np.cumsum(r_sorted)[pts]
+    coverages += (retained / n).tolist()
+    selective_risks += (risk_after / retained).tolist()
+    weights += (np.diff(pts, prepend=-1) / n).tolist()
+
+    leftover = (n - 2) - int(pts[-1])
+    if leftover > 0:
+        coverages.append(0.0)
         selective_risks.append(selective_risks[-1])
-        weights.append(tmp_weight / n_samples)
+        weights.append(leftover / n)
     return coverages, selective_risks, weights
 
 

@@ -910,7 +910,14 @@ def packed_train_forward(params: Dict, x: jnp.ndarray, *,
     stats-chained fused pipeline — same values, no VJP residuals.
     """
     b, d, h, w, cin = x.shape
-    assert LANES % w == 0, f"W={w} must divide {LANES}"
+    if LANES % w != 0:
+        # config-reachable (train_backend=packed with an odd patch size);
+        # a bare assert would vanish under python -O and crash opaquely
+        # mid-training
+        raise ValueError(
+            f"train_backend='packed' requires the patch W dimension to "
+            f"divide {LANES} (got W={w}); use a power-of-two patch size "
+            f"<= {LANES} or train_backend='xla'")
     bp = LANES // w
     pad_b = (-b) % bp
     if pad_b:

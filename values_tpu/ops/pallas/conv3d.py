@@ -167,6 +167,68 @@ def banded_bias(bias: jnp.ndarray, groups: int, qd: int, qh: int,
 # Tiling selection
 # ---------------------------------------------------------------------------
 
+_SCOPED_VMEM_BUDGET = 13 * 2 ** 20
+
+
+def _vmem_accounting(cout: int, h: int, cin: int, itemsize: int, form: str):
+    """Shared scoped-VMEM byte accounting for a banded-conv cell: returns
+    ``(fixed_bytes(qd, qh, sd), dot_bytes(qd, qh, nq))``. Both
+    ``choose_tiling`` and the explicit-tiling fallback budget through
+    these, so the two paths cannot drift (the r3 ADVICE finding: the
+    legacy fallback used a pre-outroll formula that skipped the f32
+    product blocks choose_tiling budgets after a real-chip 16.28M/16M
+    OOM)."""
+    n_bufs = 4 if form == "x3" else 2
+    k_div = 1 if form == "x3" else 3
+    n_dots = 1 if form == "x3" else 3
+    # VMEM tiles pad the second-minor dim to the sublane multiple (16
+    # for bf16's T(8,128)(2,1) packing, 8 for f32) and the minor dim to
+    # 128 lanes; cin/cout sit second-minor in the x/out tiles.
+    sub = 16 if itemsize == 2 else 8
+
+    def spad(c):
+        return -(-c // sub) * sub
+
+    def lpad(c):
+        return -(-c // LANES) * LANES
+
+    def kn(qd, qh):
+        return 3 * (qd + 2) * (qh + 2) * cin, qd * qh * cout
+
+    def fixed_bytes(qd, qh, sd):
+        k, n = kn(qd, qh)
+        x_tiles = n_bufs * (sd + 2) * (h + 2) * spad(cin) * LANES * itemsize
+        out_blocks = 2 * sd * h * spad(cout) * LANES * itemsize
+        weights = 2 * spad(n) * lpad(k) * itemsize
+        return x_tiles + out_blocks + weights
+
+    def dot_bytes(qd, qh, nq):
+        # per-dot live temporaries: the A matrix (K x nq*LANES) plus the
+        # f32 product blocks before accumulation — x3 keeps one
+        # (N x nq*LANES) dot output, outroll keeps THREE (one per kw band)
+        k, n = kn(qd, qh)
+        return (spad(k // k_div) * nq * LANES * itemsize
+                + n_dots * spad(n) * nq * LANES * 4)
+
+    return fixed_bytes, dot_bytes
+
+
+def pick_nq(qd: int, qh: int, sd: int, cout: int, h: int, cin: int,
+            itemsize: int, form: Optional[str] = None) -> int:
+    """Largest lane batch nq whose dot temporaries fit the scoped-VMEM
+    budget left over by the fixed tiles, for an EXPLICIT (qd, qh, sd)
+    tiling — the same accounting choose_tiling uses for its search."""
+    if form is None:
+        form = os.environ.get("VALUES_TPU_BANDED_FORM", "outroll")
+    fixed_bytes, dot_bytes = _vmem_accounting(cout, h, cin, itemsize, form)
+    headroom = _SCOPED_VMEM_BUDGET - fixed_bytes(qd, qh, sd)
+    n_hblk = h // qh
+    for q in (16, 8, 4, 2, 1):
+        if n_hblk % q == 0 and dot_bytes(qd, qh, q) <= headroom:
+            return q
+    return 1
+
+
 def choose_tiling(cout: int, d: int, h: int, cin: int = 8,
                   itemsize: int = 2,
                   form: Optional[str] = None) -> Tuple[int, int, int, int]:
@@ -190,7 +252,7 @@ def choose_tiling(cout: int, d: int, h: int, cin: int = 8,
     """
     if form is None:
         form = os.environ.get("VALUES_TPU_BANDED_FORM", "outroll")
-    budget = 13 * 2 ** 20
+    budget = _SCOPED_VMEM_BUDGET
     target = max(1, LANES // cout)
 
     def waste(qd, qh):
@@ -212,61 +274,31 @@ def choose_tiling(cout: int, d: int, h: int, cin: int = 8,
     else:
         # biggest N first, then least band waste
         candidates.sort(key=lambda q: (-q[0] * q[1], waste(*q)))
-    n_bufs = 4 if form == "x3" else 2
-    k_div = 1 if form == "x3" else 3
-
-    # VMEM tiles pad the second-minor dim to the sublane multiple (16
-    # for bf16's T(8,128)(2,1) packing, 8 for f32) and the minor dim to
-    # 128 lanes. cin/cout sit second-minor in the x/out tiles, so cin=8
-    # bf16 occupies DOUBLE its nominal bytes — omitting this caused a
-    # real-chip scoped-vmem OOM (16.28M/16M) at the batch-128 L1 conv.
-    sub = 16 if itemsize == 2 else 8
-
-    def spad(c):
-        return -(-c // sub) * sub
-
-    def lpad(c):
-        return -(-c // LANES) * LANES
+    # Shared byte accounting (sublane/lane padding; cin=8 bf16 occupies
+    # DOUBLE its nominal bytes — omitting this caused a real-chip
+    # scoped-vmem OOM (16.28M/16M) at the batch-128 L1 conv. Likewise
+    # the f32 product blocks in dot_bytes.)
+    fixed_bytes, dot_bytes = _vmem_accounting(cout, h, cin, itemsize, form)
 
     def plan(qd, qh):
-        k = 3 * (qd + 2) * (qh + 2) * cin
-        n = qd * qh * cout
         n_hblk = h // qh
-
-        def fixed_bytes(sd_):
-            x_tiles = (n_bufs * (sd_ + 2) * (h + 2) * spad(cin)
-                       * LANES * itemsize)
-            out_blocks = 2 * sd_ * h * spad(cout) * LANES * itemsize
-            weights = 2 * spad(n) * lpad(k) * itemsize
-            return x_tiles + out_blocks + weights
-
         # outroll's A temporary is 3x smaller, so more of the budget can
         # go to the x tiles (bigger sd = less d-halo re-read: the (sd+2)
         # rows per sd-step read (sd+2)/sd of the input)
         fixed_cap = budget // 2 if form == "x3" else (3 * budget) // 4
         sd = d
-        while sd > qd and (d % sd or fixed_bytes(sd) > fixed_cap):
+        while sd > qd and (d % sd or fixed_bytes(qd, qh, sd) > fixed_cap):
             sd -= qd
         if d % sd:
             sd = qd
-        # per-dot live temporaries: the A matrix (K x nq*LANES) plus the
-        # f32 product blocks before accumulation — x3 keeps one
-        # (N x nq*LANES) dot output, outroll keeps THREE (one per kw
-        # band). Omitting the product blocks from the budget caused a
-        # real-chip scoped-vmem OOM (16.28M/16M) at the batch-128 L1
-        # stats conv.
-        n_dots = 1 if form == "x3" else 3
-
-        def dot_bytes(q):
-            return (spad(k // k_div) * q * LANES * itemsize
-                    + n_dots * spad(n) * q * LANES * 4)
-
         nq = 1
         for q in (16, 8, 4, 2, 1):
-            if n_hblk % q == 0 and dot_bytes(q) <= budget - fixed_bytes(sd):
+            if (n_hblk % q == 0
+                    and dot_bytes(qd, qh, q)
+                    <= budget - fixed_bytes(qd, qh, sd)):
                 nq = q
                 break
-        return sd, nq, fixed_bytes(sd) + dot_bytes(nq)
+        return sd, nq, fixed_bytes(qd, qh, sd) + dot_bytes(qd, qh, nq)
 
     for qd, qh in candidates:
         sd, nq, total = plan(qd, qh)
@@ -638,13 +670,11 @@ def conv3d_banded_packed(x: jnp.ndarray, kernel: jnp.ndarray,
         if len(tiling) > 3:
             nq = tiling[3]
         else:
-            # legacy 3-tuple: pick the largest lane batch whose A
-            # temporary stays within the scoped-VMEM margin (mirrors
-            # choose_tiling rather than a hard-coded small cap)
-            k3 = 3 * (qd + 2) * (qh + 2) * cin
-            nq = next(q for q in (16, 8, 4, 2, 1)
-                      if (h // qh) % q == 0
-                      and k3 * q * LANES * x.dtype.itemsize <= 8 * 2 ** 20)
+            # legacy 3-tuple: pick the lane batch through the SAME
+            # fixed_bytes/dot_bytes accounting choose_tiling budgets with
+            # (covers both forms' real scoped-VMEM footprint)
+            nq = pick_nq(qd, qh, sd, cout, h, cin, x.dtype.itemsize,
+                         form=form)
     else:
         chosen = choose_tiling(cout, d, h, cin, x.dtype.itemsize, form=form)
         if chosen is None:

@@ -122,6 +122,13 @@ class Experiment:
     # ------------------------------------------------------------------
     def init_state(self, rng: jax.Array, patch_size: int,
                    in_channels: int = 1) -> TrainState:
+        if self.train_backend == "packed":
+            from ..models.ensemble_unet3d_pallas import LANES
+            if LANES % patch_size != 0:
+                raise ValueError(
+                    f"train_backend='packed' requires patch_size to divide "
+                    f"{LANES} (got {patch_size}); use a power-of-two patch "
+                    f"size <= {LANES} or train_backend='xla'")
         sample = jnp.zeros((1,) + (patch_size,) * 3 + (in_channels,))
         variables = jax.jit(self.model.init)(rng, sample)
         return self.state_from_variables(variables)
@@ -234,7 +241,13 @@ class Experiment:
             cast = (lambda t: t.astype(jnp.bfloat16)) if self.mixed_bf16 \
                 else (lambda t: t)
             packed_params = jax.tree_util.tree_map(cast, params)
-            rng, drop_rng = jax.random.split(rng)
+            # same key discipline as the SSN packed branch: dropout uses
+            # the top-of-_loss split's dropout key and the aleatoric
+            # sampling loss consumes the SAME post-split rng as the XLA
+            # branch, so the two backends' noise streams are identical
+            # and their loss trajectories directly comparable
+            drop_rng = (apply_kwargs["rngs"]["dropout"]
+                        if self.has_dropout else None)
             out = packed_train_forward(
                 packed_params, data,
                 do_dropout=self.has_dropout, rng=drop_rng,
