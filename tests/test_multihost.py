@@ -122,7 +122,8 @@ FIT_WORKER = textwrap.dedent("""
                   "softmax_config", [
         "data_input_dir=" + os.environ["DATA"],
         "save_dir=" + os.environ["EXP"],
-        "max_epochs=1", "batch_size=8", "datamodule.patch_size=16",
+        "max_epochs=" + os.environ.get("MAX_EPOCHS", "1"),
+        "batch_size=8", "datamodule.patch_size=16",
         "datamodule.batch_size=8", "datamodule.data_num_folds=3",
         "datamodule.num_raters=2", "model.initial_filter_size=2",
         "version=mh", "+devices=8", "+dcn_granules=2",
@@ -133,7 +134,7 @@ FIT_WORKER = textwrap.dedent("""
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("ckpt_fmt", ["pickle", "orbax"])
+@pytest.mark.parametrize("ckpt_fmt", ["pickle", "orbax", "orbax-async"])
 def test_two_process_full_fit(tmp_path, ckpt_fmt):
     """A REAL 2-process fit(): covers the multi-host paths one train
     step cannot — replicated val staging, process-0-only checkpoint and
@@ -141,8 +142,10 @@ def test_two_process_full_fit(tmp_path, ckpt_fmt):
     found the val loop and checkpoint writers were multi-host-broken;
     this is the regression net.) The orbax variant exercises the
     COLLECTIVE save path (VERDICT r2 item 6: all processes call save,
-    one commits) plus read-back."""
-    if ckpt_fmt == "orbax":
+    one commits) plus read-back. The orbax-async variant (VERDICT r3
+    item 10) runs TWO epochs so successive background saves exercise the
+    one-in-flight drain and the coordination-service commit barriers."""
+    if ckpt_fmt.startswith("orbax"):
         pytest.importorskip("orbax.checkpoint")
     import random
     import numpy as np
@@ -179,6 +182,7 @@ def test_two_process_full_fit(tmp_path, ckpt_fmt):
             "REPO": str(Path(__file__).resolve().parents[1]),
             "DATA": str(data), "EXP": str(tmp_path / "exp"),
             "CKPT_FMT": ckpt_fmt,
+            "MAX_EPOCHS": "2" if ckpt_fmt == "orbax-async" else "1",
             "COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
             "NUM_PROCESSES": "2", "PROCESS_ID": str(pid),
             "JAX_PLATFORMS": "cpu",
@@ -196,4 +200,4 @@ def test_two_process_full_fit(tmp_path, ckpt_fmt):
     ckpt_path = next(iter(ckpts)).split(" ", 1)[1]
     from values_tpu.training.checkpoint import load_checkpoint
     payload = load_checkpoint(ckpt_path)
-    assert payload["epoch"] == 0
+    assert payload["epoch"] == (1 if ckpt_fmt == "orbax-async" else 0)

@@ -166,6 +166,28 @@ class CheckpointRetention:
 # -- orbax backend (large states, async-capable, zarr-sharded) --------------
 
 _ASYNC_CHECKPOINTER = None
+_ASYNC_SAVE_SEQ = 0
+
+
+def _coordination_client():
+    """The jax distributed coordination-service client (None when the
+    process was not started under jax.distributed.initialize)."""
+    try:
+        from jax._src import distributed
+        return distributed.global_state.client
+    except Exception:  # pragma: no cover - jax internals moved
+        return None
+
+
+def _coord_barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Cross-process barrier over the coordination service — device-free,
+    so it is safe on background threads running concurrently with
+    training-step collectives (the reason device-collective barriers like
+    multihost_utils.sync_global_devices are banned on the async commit
+    path)."""
+    client = _coordination_client()
+    if client is not None:
+        client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
 
 
 def _async_checkpointer():
@@ -215,9 +237,13 @@ def save_checkpoint_orbax(path: str, variables: Any, hyper_parameters: Dict,
     import orbax.checkpoint as ocp
     multi = jax.process_count() > 1
     primary = jax.process_index() == 0
-    if multi and async_save:
-        raise ValueError("orbax-async is single-host; use orbax (sync) "
-                         "or pickle for multi-host training")
+    if multi and async_save and _coordination_client() is None:
+        # without a coordination service the background commit barrier
+        # would need device collectives — unsafe concurrent with
+        # training-step collectives on the main thread; degrade to the
+        # sync collective path (jax multi-process normally always has
+        # the service via jax.distributed.initialize)
+        async_save = False
     path = Path(path).absolute()
     # write-to-temp + rename: the multi-second zarr write must never
     # leave a window with NO valid checkpoint on disk (preemption during
@@ -242,6 +268,17 @@ def save_checkpoint_orbax(path: str, variables: Any, hyper_parameters: Dict,
         tmp.rename(path)
 
     if async_save:
+        # COLLECTIVE when multi (VERDICT r3 item 10): every process
+        # enqueues with orbax's AsyncCheckpointer — its internal barriers
+        # ride the distributed coordination service (client.wait_at_barrier
+        # via get_barrier_sync_fn), NOT device collectives, so the
+        # background write cannot interleave with training-step
+        # collectives on the main thread. Numpy trees are written by the
+        # primary host only; ONE committer (primary) renames behind a
+        # coordination-service barrier.
+        global _ASYNC_SAVE_SEQ
+        _ASYNC_SAVE_SEQ += 1
+        seq = _ASYNC_SAVE_SEQ
         ckptr = _async_checkpointer()
         ckptr.save(tmp, payload, force=True)
         # orbax finalizes the write on its background thread; commit
@@ -253,7 +290,13 @@ def save_checkpoint_orbax(path: str, variables: Any, hyper_parameters: Dict,
         def waiter():
             try:
                 ckptr.wait_until_finished()
-                commit()
+                if multi:
+                    _coord_barrier(f"vt_async_written_{seq}")
+                if primary:
+                    commit()
+                if multi:
+                    # non-primaries must not observe pre-rename state
+                    _coord_barrier(f"vt_async_committed_{seq}")
             except BaseException as exc:  # surfaced by wait_for_async_*
                 holder.append(exc)
         t = threading.Thread(target=waiter, daemon=False)

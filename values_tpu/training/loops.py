@@ -240,13 +240,11 @@ def fit(cfg: Config, max_steps_override: Optional[int] = None,
     ckpt_fmt = str(cfg.get("checkpoint_format", "pickle"))
     # orbax saves are COLLECTIVE on multi-host: every process calls
     # retention.save (checkpoint.save_checkpoint_orbax barriers + one
-    # committer); async stays single-host (its commit thread cannot
-    # participate in cross-process barriers safely)
-    collective_ckpt = jax.process_count() > 1 and ckpt_fmt == "orbax"
-    if jax.process_count() > 1 and ckpt_fmt == "orbax-async":
-        raise ValueError(
-            "checkpoint_format=orbax-async is single-host; use orbax "
-            "(sync, collective) or pickle for multi-host training")
+    # committer). orbax-async is collective too (r4): all processes
+    # enqueue with AsyncCheckpointer and the commit thread barriers over
+    # the coordination service, never device collectives.
+    collective_ckpt = jax.process_count() > 1 and ckpt_fmt in (
+        "orbax", "orbax-async")
     retention = CheckpointRetention(
         ckpt_dir, save_top_k=int(cfg.get("save_top_k", 0) or 0),
         every_n_epochs=int(cfg.get("checkpoint_every_n_epochs", 0) or 0),
