@@ -1,0 +1,400 @@
+"""Statistical composed-pipeline goldens for the STOCHASTIC C1 families.
+
+VERDICT r3 item 4: the deterministic cross-implementation oracle
+(tests/test_reference_oracle.py) pins Softmax and Deep Ensemble bitwise,
+but MC-dropout and TTA draw RNG that cannot match across frameworks.
+Here the REFERENCE's own composed pipeline (test_3D.py:399-622, executed
+via tests/refshims at float64) and values_tpu's composed pipeline run the
+same checkpoints over the same volumes at high n_pred, and their outputs
+are compared STATISTICALLY:
+
+- per-image composed statistics (mean-softmax Dice, GED, image-level
+  PE/EE/MI sums, patch-level max) must agree within tolerance bands
+  DERIVED from the data: 6x the bootstrap std of each statistic over the
+  sample axis of our own prediction stack (resampling whole passes keeps
+  the within-pass voxel correlations intact),
+- the downstream OoD-AUROC and failure-AURC (reference auroc.py:95-139,
+  aurc.py:130-153 semantics) must fall inside the bootstrap interval of
+  the statistic,
+- TTA additionally has a DETERMINISTIC half: the 8 flip variants of the
+  clean input (test_3D.py:427-456) depend on no RNG, so exactly 8 of the
+  reference's 16 per-pred softmax volumes must match 8 of ours to <=1e-6
+  (the same tolerance the bitwise oracle holds).
+
+Platt/ACE and the threshold chain are exercised bitwise by the
+deterministic-family oracle; their INPUTS (uncertainty maps, dice) are
+pinned here, so they are not re-derived statistically.
+"""
+import json
+import os
+import random
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from values_tpu.config import compose
+from values_tpu.core import nifti
+from values_tpu.data.toy_generation import ToyGenConfig, generate_samples
+from values_tpu.models.torch_import import export_reference_checkpoint
+from values_tpu.training.checkpoint import load_any_checkpoint
+from values_tpu.training.loops import fit
+
+P = 16                   # patch size; volumes are 32^3 => 8 windows each
+N_PRED = 64              # MC-dropout passes (TTA is fixed at 16)
+B_BOOT = 64              # bootstrap replicates for the tolerance bands
+# ids straddle the toy OoD rule (id > 20 is ID, reference auroc.py:17-23)
+TEST_IDS = ["0015", "0018", "0022", "0025"]
+REPO = Path(__file__).resolve().parents[1]
+REFSHIMS = REPO / "tests" / "refshims"
+REFERENCE = Path("/root/reference")
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not REFERENCE.exists(),
+                       reason="reference tree not available"),
+]
+
+
+def _hparams(data_root, save_dir, do_dropout: bool):
+    return {
+        "seed": 123,
+        "data_input_dir": str(data_root),
+        "save_dir": str(save_dir),
+        "exp_name": "oracle",
+        "version": "0",
+        "datamodule": {
+            "dataset_name": "Case_1", "data_fold_id": 0, "num_raters": 3,
+            "patch_size": P, "patch_overlap": 1,
+        },
+        "model": {
+            "_target_": "uncertainty_modeling.models.unet3D_module.UNet3D",
+            "num_classes": 2, "in_channels": 1, "initial_filter_size": 2,
+            "do_instancenorm": True, "do_dropout": do_dropout,
+        },
+    }
+
+
+@pytest.fixture(scope="module")
+def stochastic_env(tmp_path_factory):
+    pytest.importorskip("torch")
+    root = tmp_path_factory.mktemp("oracle_stoch")
+    data_root = root / "ToyData"
+    case = data_root / "Case_1"
+
+    for split, n, seed in (("Tr", 6, 1), ("Ts", len(TEST_IDS), 2)):
+        cfg = ToyGenConfig(
+            input_files=["ballSphere.stl"],
+            save_path=str(case / f"images{split}"),
+            n_samples=n, image_size=(2 * P, 2 * P, 2 * P),
+            min_object_ratio=5, max_object_ratio=2, gauss_sigma=2,
+            blur=True, segmentation=True, n_raters=3, seed=seed)
+        random.seed(seed)
+        np.random.seed(seed)
+        generate_samples(cfg)
+        seg = case / f"images{split}" / "segmentation"
+        (case / f"labels{split}").mkdir(exist_ok=True)
+        for f in seg.iterdir():
+            f.rename(case / f"labels{split}" / f.name)
+        seg.rmdir()
+    for idx, new_id in enumerate(TEST_IDS):
+        old = f"{idx:04d}"
+        (case / "imagesTs" / f"{old}.nii.gz").rename(
+            case / "imagesTs" / f"{new_id}.nii.gz")
+        for rater in range(3):
+            (case / "labelsTs" / f"{old}_{rater:02d}.nii.gz").rename(
+                case / "labelsTs" / f"{new_id}_{rater:02d}.nii.gz")
+
+    # one plain member (drives TTA) + one MC-dropout member
+    ckpts = {}
+    for key, config_name, seed in (("tta", "softmax_config", 123),
+                                   ("dropout", "dropout_config", 125)):
+        cfg = compose("configs", config_name, [
+            f"data_input_dir={data_root}",
+            f"save_dir={root}/train",
+            f"exp_name=member-{key}",
+            "version=0", "max_epochs=2", "batch_size=2",
+            f"datamodule.patch_size={P}",
+            "datamodule.batch_size=2", "datamodule.data_num_folds=3",
+            "model.initial_filter_size=2", f"seed={seed}",
+        ])
+        native = fit(cfg)
+        _, variables = load_any_checkpoint(native)
+        path = root / f"member-{key}.ckpt"
+        export_reference_checkpoint(
+            str(path), variables,
+            _hparams(data_root, root / "ref_out", key == "dropout"))
+        ckpts[key] = str(path)
+
+    ref_out, our_out = root / "ref_out", root / "our_out"
+    jobs = [
+        {"pred_model": "Dropout", "key": "dropout", "n_pred": N_PRED,
+         "tta": False},
+        {"pred_model": "TTA", "key": "tta", "n_pred": 1, "tta": True},
+    ]
+
+    # reference side (inference only; the eval-layer math is pinned
+    # bitwise by the deterministic oracle — here we derive the
+    # downstream metrics from the saved stacks on both sides)
+    spec = {
+        "reference_root": str(REFERENCE),
+        "inference": [
+            {"checkpoint_paths": [ckpts[j["key"]]],
+             "data_input_dir": str(data_root),
+             "save_dir": str(ref_out),
+             "exp_name": f"{j['pred_model']}-Oracle",
+             "n_pred": j["n_pred"], "tta": j["tta"],
+             "test_split": "test"}
+            for j in jobs
+        ],
+    }
+    ref_out.mkdir(parents=True, exist_ok=True)
+    spec_path = ref_out / "jobspec.json"
+    spec_path.write_text(json.dumps(spec))
+    proc = subprocess.run(
+        [sys.executable, str(REFSHIMS / "run_reference_pipeline.py"),
+         str(spec_path)],
+        capture_output=True, text=True, timeout=2400,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert "REFERENCE PIPELINE OK" in proc.stdout, (
+        f"reference pipeline failed:\n{proc.stdout[-3000:]}\n"
+        f"{proc.stderr[-3000:]}")
+
+    # our side, through the production CLI at float64. TTA runs with
+    # THREE seeds: its noise rows share ONE sigma ~ U(0, 0.1) draw per
+    # window, so resampling rows (bootstrap) underestimates the
+    # between-run variance — the band for TTA needs the between-seed
+    # spread of our own runs as a second component.
+    for j in jobs:
+        seeds = (None, 321, 555) if j["tta"] else (None,)
+        for si, seed in enumerate(seeds):
+            exp = f"{j['pred_model']}-Oracle" + (f"-s{si}" if si else "")
+            cmd = [sys.executable, "-m", "values_tpu.inference.test_3d",
+                   "--checkpoint_paths", ckpts[j["key"]],
+                   "-i", str(data_root), "--save_dir", str(our_out),
+                   "--exp_name", exp,
+                   "--test_split", "test",
+                   "--n_pred", str(j["n_pred"]),
+                   "--dtype", "float64", "--backend", "xla",
+                   "--no-grouped-ensemble"]
+            if seed is not None:
+                cmd += ["--seed", str(seed)]
+            if j["tta"]:
+                cmd.append("-tta")
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=2400,
+                cwd=REPO,
+                env={**os.environ, "JAX_PLATFORMS": "cpu",
+                     "JAX_ENABLE_X64": "1"})
+            assert proc.returncode == 0, (
+                f"values_tpu inference failed:\n{proc.stdout[-3000:]}\n"
+                f"{proc.stderr[-3000:]}")
+
+    return {"ref_out": ref_out, "our_out": our_out}
+
+
+# -- stack loading and composed statistics ---------------------------------
+
+def _split_dir(out_dir: Path, pred_model: str) -> Path:
+    return out_dir / f"{pred_model}-Oracle" / "test_results" / "0" / "test"
+
+
+def _load_stack(split_dir: Path, image_id: str) -> np.ndarray:
+    """Per-pred softmax stack [N, C, D, H, W] from the pred_prob tree."""
+    files = sorted(split_dir.glob(f"pred_prob/{image_id}_[0-9]*_01.nii.gz"))
+    assert files, f"no per-pred probs for {image_id} under {split_dir}"
+    n_classes = len(sorted(
+        split_dir.glob(f"pred_prob/{image_id}_01_*.nii.gz")))
+    rows = []
+    for f in files:
+        pred_tag = f.name.split("_")[1]
+        row = [nifti.load(split_dir / "pred_prob" /
+                          f"{image_id}_{pred_tag}_{cc:02d}.nii.gz")[0]
+               for cc in range(1, n_classes + 1)]
+        rows.append(np.stack([np.asarray(r, np.float64) for r in row]))
+    return np.stack(rows)
+
+
+def _load_gt(split_dir: Path, image_id: str) -> np.ndarray:
+    files = sorted(split_dir.glob(f"gt_seg/{image_id}_*.nii.gz"))
+    assert files
+    return np.stack([np.asarray(nifti.load(f)[0], np.intc) for f in files])
+
+
+def _composed_stats(stack: np.ndarray, gts: np.ndarray,
+                    with_ged: bool = True) -> dict:
+    """The per-image composed outputs: C2 maps -> C3 scores + seg metrics,
+    via the SAME package functions the production pipeline uses (pinned
+    bitwise against the reference by tests/test_reference_oracle.py)."""
+    import jax
+    from values_tpu.evaluation.aggregate_uncertainties import (
+        patch_level_aggregation)
+    from values_tpu.ops.metrics import (generalized_energy_distance,
+                                        per_rater_test_metrics)
+    from values_tpu.ops.uncertainty import uncertainty_measures
+
+    out = {}
+    with jax.enable_x64(True):  # both sides saved float64 volumes
+        measures = uncertainty_measures(stack)
+        for unc in ("pred_entropy", "aleatoric_uncertainty",
+                    "epistemic_uncertainty"):
+            heatmap = np.asarray(measures[unc], np.float64)
+            out[f"{unc}/image_sum"] = float(heatmap.sum())
+            out[f"{unc}/patch_max"] = float(
+                patch_level_aggregation(heatmap,
+                                        patch_size=10)["max_score"])
+        mean_softmax = stack.mean(axis=0)[None]
+        seg_metrics = per_rater_test_metrics(mean_softmax, gts)
+        out["dice"] = float(seg_metrics["dice"])
+        if with_ged:
+            ged = generalized_energy_distance(stack, gts)
+            out["ged"] = float(ged["ged"])
+    return out
+
+
+def _ged_components(stack: np.ndarray, gts: np.ndarray):
+    """Per-pair (tp, fp, fn) matrices so bootstrap replicates can resample
+    the SAME micro-dice aggregation generalized_energy_distance performs
+    (it sums pair stats before the dice — resampling the precomputed pair
+    stats is exact, and O(n^2) pairwise label comparisons happen once
+    instead of once per replicate)."""
+    import jax
+    from values_tpu.ops.metrics import _pairwise_stats, dice_from_stats
+
+    n, m = stack.shape[0], gts.shape[0]
+    with jax.enable_x64(True):
+        pred = np.argmax(stack, axis=1).astype(np.int32).reshape(n, -1)
+        gt = gts.astype(np.int32).reshape(m, -1)
+        *_, gp = _pairwise_stats(pred, gt, 0)
+        *_, pp = _pairwise_stats(pred, pred, 0)
+        gg_ignore = 0 if bool((gt == 0).any()) else None
+        tp, fp, fn, _ = _pairwise_stats(gt, gt, gg_ignore)
+        d_gg = 1.0 - float(dice_from_stats(tp, fp, fn))
+    return np.asarray(gp, np.float64), np.asarray(pp, np.float64), d_gg
+
+
+def _ged_from_components(idx, gp, pp, d_gg) -> float:
+    def micro_dist(stats):  # summed pair stats -> 1 - micro dice
+        tp, fp, fn = stats
+        denom = 2.0 * tp + fp + fn
+        return 1.0 - (2.0 * tp / denom if denom > 0 else 0.0)
+    d_gp = micro_dist(gp[idx].sum(axis=(0, 1)))
+    d_pp = micro_dist(pp[np.ix_(idx, idx)].sum(axis=(0, 1)))
+    return 2.0 * d_gp - d_pp - d_gg
+
+
+def _bootstrap_stats(stack, gts, rng) -> list:
+    n = stack.shape[0]
+    gp, pp, d_gg = _ged_components(stack, gts)
+    out = []
+    for _ in range(B_BOOT):
+        idx = rng.randint(0, n, n)
+        stats = _composed_stats(stack[idx], gts, with_ged=False)
+        stats["ged"] = _ged_from_components(idx, gp, pp, d_gg)
+        out.append(stats)
+    return out
+
+
+def _downstream(stats_by_image: dict) -> dict:
+    """OoD-AUROC + failure-AURC from per-image composed scores (reference
+    auroc.py:95-139 with the toy id>20 rule; aurc.py:130-153 risk/confid
+    convention)."""
+    from sklearn.metrics import auc, roc_curve
+    from values_tpu.evaluation.metrics.aurc import aurc
+
+    ids = sorted(stats_by_image)
+    scores = np.array([stats_by_image[i]["pred_entropy/image_sum"]
+                       for i in ids])
+    is_ood = np.array([int(i) <= 20 for i in ids], dtype=float)
+    fpr, tpr, _ = roc_curve(is_ood, scores)
+    risks = np.array([1.0 - stats_by_image[i]["dice"] for i in ids])
+    return {"auroc": float(auc(fpr, tpr)),
+            "aurc": aurc(risks, -scores)}
+
+
+@pytest.mark.parametrize("pred_model", ["Dropout", "TTA"])
+def test_stochastic_family_statistical_agreement(stochastic_env,
+                                                 pred_model):
+    ref_dir = _split_dir(stochastic_env["ref_out"], pred_model)
+    our_dir = _split_dir(stochastic_env["our_out"], pred_model)
+    rng = np.random.RandomState(0)
+
+    seed_dirs = []
+    if pred_model == "TTA":
+        seed_dirs = [
+            stochastic_env["our_out"] / f"{pred_model}-Oracle-s{si}"
+            / "test_results" / "0" / "test"
+            for si in (1, 2)
+        ]
+
+    ref_stats, our_stats, boots, seed_stats = {}, {}, {}, {}
+    for image_id in TEST_IDS:
+        ref_stack = _load_stack(ref_dir, image_id)
+        our_stack = _load_stack(our_dir, image_id)
+        n_expected = 16 if pred_model == "TTA" else N_PRED
+        assert ref_stack.shape[0] == our_stack.shape[0] == n_expected
+        ref_gt = _load_gt(ref_dir, image_id)
+        our_gt = _load_gt(our_dir, image_id)
+        np.testing.assert_allclose(our_gt, ref_gt, atol=1e-6)
+
+        if pred_model == "TTA":
+            # deterministic half: the 8 clean-input flip variants must
+            # match pairwise across frameworks at oracle tolerance
+            matches = 0
+            used = set()
+            for i in range(16):
+                for j in range(16):
+                    if j in used:
+                        continue
+                    if np.max(np.abs(our_stack[i] - ref_stack[j])) <= 1e-6:
+                        matches += 1
+                        used.add(j)
+                        break
+            assert matches >= 8, (
+                f"{image_id}: only {matches} of 8 deterministic TTA "
+                "variants matched the reference")
+
+        ref_stats[image_id] = _composed_stats(ref_stack, ref_gt)
+        our_stats[image_id] = _composed_stats(our_stack, our_gt)
+        boots[image_id] = _bootstrap_stats(our_stack, our_gt, rng)
+        seed_stats[image_id] = [
+            _composed_stats(_load_stack(sdir, image_id), our_gt)
+            for sdir in seed_dirs
+        ]
+
+    # per-image composed statistics within 6x the larger of the bootstrap
+    # std (iid-pass noise) and the between-seed spread (shared draws the
+    # bootstrap cannot see, e.g. TTA's one sigma draw per window)
+    for image_id in TEST_IDS:
+        for key, ours in our_stats[image_id].items():
+            ref = ref_stats[image_id][key]
+            sigma = float(np.std([b[key] for b in boots[image_id]]))
+            if seed_stats[image_id]:
+                runs = [ours] + [s[key] for s in seed_stats[image_id]]
+                sigma = max(sigma, float(np.std(runs, ddof=1)))
+            band = 6.0 * sigma + 1e-6 * (1.0 + abs(ours))
+            assert abs(ref - ours) <= band, (
+                f"{pred_model}/{image_id}/{key}: ref={ref} ours={ours} "
+                f"band={band} (sigma={sigma})")
+
+    # downstream task metrics within the bootstrap interval
+    ref_tasks = _downstream(ref_stats)
+    our_tasks = _downstream(our_stats)
+    boot_tasks = [
+        _downstream({i: boots[i][b] for i in TEST_IDS})
+        for b in range(B_BOOT)
+    ]
+    n_seed_runs = len(seed_stats[TEST_IDS[0]])
+    boot_tasks += [
+        _downstream({i: seed_stats[i][s] for i in TEST_IDS})
+        for s in range(n_seed_runs)
+    ]
+    for key in ("auroc", "aurc"):
+        values = [t[key] for t in boot_tasks] + [our_tasks[key]]
+        lo, hi = min(values), max(values)
+        pad = 1e-6 + 0.05 * (hi - lo)
+        assert lo - pad <= ref_tasks[key] <= hi + pad, (
+            f"{pred_model}/{key}: ref={ref_tasks[key]} outside bootstrap "
+            f"interval [{lo}, {hi}] (ours={our_tasks[key]})")

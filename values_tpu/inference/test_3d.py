@@ -73,6 +73,10 @@ def test_cli(argv=None) -> argparse.Namespace:
                              "near-sized volumes share one compiled "
                              "program (outputs are cropped back; "
                              "numerically identical)")
+    parser.add_argument("--seed", type=int, default=None,
+                        help="override the sampling seed (default: the "
+                             "checkpoint's hparams seed, matching the "
+                             "reference's set_seed(hparams['seed']))")
     return parser.parse_args(argv)
 
 
@@ -147,7 +151,9 @@ def build_engine(hparams: Dict, variables_list: List, args,
         n_aleatoric_samples=hparams.get("n_aleatoric_samples", 10),
         patch_size=hparams["datamodule"]["patch_size"],
         patch_overlap=hparams["datamodule"]["patch_overlap"],
-        dtype=dtype, seed=hparams.get("seed", 123),
+        dtype=dtype,
+        seed=(args.seed if getattr(args, "seed", None) is not None
+              else hparams.get("seed", 123)),
         window_batch=getattr(args, "test_batch_size", 12) or 12,
         use_grouped_ensemble=getattr(args, "grouped_ensemble", True),
         weight_mode=getattr(args, "weight_mode", "uniform"),
