@@ -203,6 +203,51 @@ def measure_streaming_aleatoric(batch: int = 32) -> float:
     return 4 * batch / best
 
 
+def measure_streaming_ssn(batch: int = 16, n_pred: int = 10) -> float:
+    """SSN deep-ensemble scoring throughput (reference loop
+    test_3D.py:361-396): packed grouped trunk + streaming per-member
+    low-rank-MVN sampling, n_pred draws per member. Same chained-scan
+    best-of-3 protocol; volumes/sec."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from values_tpu.inference.scoring import make_packed_ssn_scorer
+    from values_tpu.models.ensemble_unet3d import group_member_variables
+    from values_tpu.models.ssn_unet3d import SsnUNet3D
+
+    base = SsnUNet3D(num_classes=2, initial_filter_size=8, rank=10)
+    init = jax.jit(base.init)
+    keys = jax.random.split(jax.random.PRNGKey(0), N_MEMBERS)
+    stacked = group_member_variables(
+        [init(k, jnp.zeros((1, PATCH, PATCH, PATCH, 1))) for k in keys])
+    score, _ = make_packed_ssn_scorer(
+        2, N_MEMBERS, PATCH, n_pred=n_pred, rank=10, agg_patch=AGG_PATCH,
+        threshold=THRESHOLD)
+    step = jax.jit(score)
+    rs = np.random.RandomState(5)
+    vols = jnp.asarray(rs.rand(batch, PATCH, PATCH, PATCH, 1)
+                       .astype(np.float32))
+    gt = jnp.asarray((rs.rand(batch, PATCH, PATCH, PATCH) > 0.7)
+                     .astype(np.uint8))
+    rng = jax.random.PRNGKey(0)
+
+    @functools.partial(jax.jit, static_argnames=("repeats",))
+    def chained(stacked_v, v, g, key, repeats=4):
+        def body(carry, _):
+            return jax.random.fold_in(carry, 1), step(stacked_v, v, g,
+                                                      carry)
+        _, out = jax.lax.scan(body, key, None, length=repeats)
+        return out
+
+    np.asarray(chained(stacked, vols, gt, rng))  # warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(chained(stacked, vols, gt, rng))
+        best = min(best, time.perf_counter() - t0)
+    return 4 * batch / best
+
+
 def measure_small_batch_forward(backend: str, batch: int = 16) -> float:
     """The production sliding-window regime: real inference feeds the
     chip window CHUNKS (test_batch_size windows of one volume), far below
@@ -522,6 +567,7 @@ def main() -> None:
     train_ssn_packed = guarded(measure_train_step, "packed", fallback={},
                                ssn=True)
     aleatoric_vps = guarded(measure_streaming_aleatoric)
+    ssn_vps = guarded(measure_streaming_ssn)
     print(json.dumps({
         "metric": "lidc_ensemble5_entropy_inference_throughput",
         "value": round(volumes_per_sec, 2),
@@ -546,6 +592,9 @@ def main() -> None:
         # heaviest sampling family: aleatoric ensemble, 50 softmax
         # samples/volume accumulated streamingly in the packed layout
         "aleatoric50_streaming_volumes_per_sec": round(aleatoric_vps, 1),
+        # SSN ensemble scoring: packed trunk + streaming per-member
+        # low-rank-MVN draws (10 per member)
+        "ssn_streaming_volumes_per_sec": round(ssn_vps, 1),
         # every timing above takes the best of 3 fully-synchronized
         # dispatches of a chained-scan program — the tunnel's multi-
         # hundred-ms per-dispatch jitter is excluded by protocol, so

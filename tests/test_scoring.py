@@ -351,3 +351,39 @@ def test_per_unc_threshold_triple_matches_scalar_calls():
         want = np.asarray(score_s(stacked, vols, gt, rng))
         r = rows.index(f"{['pred_entropy','expected_entropy','mutual_information'][i]}/threshold")
         np.testing.assert_allclose(got[r], want[r], atol=1e-6)
+
+
+def test_packed_aleatoric_scorer_pallas_sampler():
+    """The Pallas streaming-sampler tail (VERDICT r3 item 3) composes in
+    the scorer: finite (10, B) scores, deterministic per rng, and the
+    deterministic parts (dice from the mean softmax with sigma->0 at
+    init is NOT guaranteed — so only distributional sanity is asserted
+    here; the tail math itself is pinned in test_pallas_sampling.py)."""
+    from values_tpu.inference.scoring import make_packed_aleatoric_scorer
+
+    members, n = 2, 4
+    base = UNet3D(num_classes=2, initial_filter_size=8,
+                  aleatoric_loss=True)
+    keys = jax.random.split(jax.random.PRNGKey(0), members)
+    stacked = group_member_variables(
+        [base.init(k, jnp.zeros((1, PATCH, PATCH, PATCH, 1)))
+         for k in keys])
+    rs = np.random.RandomState(1)
+    vols = jnp.asarray(rs.rand(B, PATCH, PATCH, PATCH, 1)
+                       .astype(np.float32))
+    gt = jnp.asarray((rs.rand(B, PATCH, PATCH, PATCH) > 0.7)
+                     .astype(np.int32))
+    rng = jax.random.PRNGKey(7)
+
+    score, rows = make_packed_aleatoric_scorer(
+        members, PATCH, n_aleatoric_samples=n, agg_patch=4,
+        dtype=jnp.float32, sampler="pallas", interpret=True)
+    got = np.asarray(score(stacked, vols, gt, rng))
+    assert got.shape == (10, B)
+    assert np.all(np.isfinite(got))
+    # deterministic for a fixed rng
+    again = np.asarray(score(stacked, vols, gt, rng))
+    np.testing.assert_array_equal(got, again)
+    # dice row in [0, 1]; entropy sums positive
+    assert (got[0] >= 0).all() and (got[0] <= 1).all()
+    assert (got[2] > 0).all()  # pred_entropy image_level sum

@@ -174,6 +174,7 @@ def make_packed_aleatoric_scorer(members: int, patch: int, *,
                                  threshold: float = 0.3,
                                  ignore_index: int = 0,
                                  dtype=jnp.bfloat16,
+                                 sampler: str = "auto",
                                  interpret: bool = False
                                  ) -> Tuple[Callable, List[str]]:
     """Scores for the aleatoric-logit-sampling deep ensemble
@@ -181,14 +182,28 @@ def make_packed_aleatoric_scorer(members: int, patch: int, *,
     then members x n_aleatoric_samples softmax samples accumulated
     streamingly in the packed layout — no (S, ...) stack is ever
     materialized, so the 50-sample workload scores batch-128 pools in
-    the memory footprint of a single sample. Sample i draws
-    eps ~ N(0,1) with key fold_in(rng, i) (statistically identical to
-    the engine's per-member block draws, not bitwise)."""
+    the memory footprint of a single sample.
+
+    ``sampler``: how the S-sample tail runs.
+    - "pallas" (the "auto" pick on TPU): the whole draw -> softmax ->
+      accumulate loop runs inside ONE VMEM-resident kernel
+      (ops/pallas/sampling.py) with the hardware PRNG — (mu, sigma)
+      cross HBM once instead of once per sample, and the threefry bit
+      cost disappears (VERDICT r3 item 3: pack the sampling tails).
+    - "xla": a fori_loop drawing eps ~ N(0,1) with key fold_in(rng, i)
+      (statistically identical to the engine's per-member block draws,
+      not bitwise; the two samplers are statistically identical to each
+      other too, tests/test_pallas_sampling.py)."""
     if LANES % patch:
         raise ValueError(f"patch={patch} must divide {LANES} for the "
                          "packed layout; use SlidingWindowEngine")
+    if sampler not in ("auto", "pallas", "xla"):
+        raise ValueError(f"unknown sampler {sampler!r}")
     bp = LANES // patch
     n = int(n_aleatoric_samples)
+    if sampler == "auto":
+        sampler = ("pallas" if not interpret
+                   and jax.devices()[0].platform == "tpu" else "xla")
 
     def score(stacked_variables, volumes, gt, rng):
         volumes, gt, b = _pad_batch(volumes, gt, bp)
@@ -201,21 +216,31 @@ def make_packed_aleatoric_scorer(members: int, patch: int, *,
         out = out.astype(jnp.float32)
         mu, s = jnp.split(out, 2, axis=-2)
         sigma = jnp.exp(s / 2.0)
-        shape = mu.shape[:3] + mu.shape[4:]     # one member's sample
 
-        def body(i, carry):
-            m = i // n
-            mu_m = jax.lax.dynamic_index_in_dim(mu, m, 3, keepdims=False)
-            sig_m = jax.lax.dynamic_index_in_dim(sigma, m, 3,
-                                                 keepdims=False)
-            eps = jax.random.normal(jax.random.fold_in(rng, i), shape,
-                                    jnp.float32)
-            probs = jax.nn.softmax(mu_m + sig_m * eps, axis=-2)
-            return streaming_update(carry, probs)
+        if sampler == "pallas":
+            from ..ops.pallas.sampling import sampled_softmax_stats
+            seed = jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max,
+                                      jnp.int32)
+            carry = sampled_softmax_stats(mu, sigma, seed, n_samples=n,
+                                          interpret=interpret)
+        else:
+            shape = mu.shape[:3] + mu.shape[4:]  # one member's sample
 
-        zero_p = jnp.zeros(shape, jnp.float32)
-        zero_e = jnp.zeros(shape[:3] + shape[4:], jnp.float32)
-        carry = jax.lax.fori_loop(0, members * n, body, (zero_p, zero_e))
+            def body(i, carry):
+                m = i // n
+                mu_m = jax.lax.dynamic_index_in_dim(mu, m, 3,
+                                                    keepdims=False)
+                sig_m = jax.lax.dynamic_index_in_dim(sigma, m, 3,
+                                                     keepdims=False)
+                eps = jax.random.normal(jax.random.fold_in(rng, i), shape,
+                                        jnp.float32)
+                probs = jax.nn.softmax(mu_m + sig_m * eps, axis=-2)
+                return streaming_update(carry, probs)
+
+            zero_p = jnp.zeros(shape, jnp.float32)
+            zero_e = jnp.zeros(shape[:3] + shape[4:], jnp.float32)
+            carry = jax.lax.fori_loop(0, members * n, body,
+                                      (zero_p, zero_e))
         stats = streaming_finalize(carry, members * n)
         return _score_from_stats(stats, gt, bp, agg_patch=agg_patch,
                                  threshold=threshold,
