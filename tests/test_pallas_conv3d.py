@@ -430,3 +430,56 @@ def test_fold_deep_stats_and_prologue(monkeypatch):
     np.testing.assert_allclose(np.asarray(ssq),
                                np.asarray((prep * prep).sum(axis=(1, 2))),
                                atol=5e-3, rtol=2e-3)
+
+
+def test_ad_stats_conv_grad_matches_lax():
+    """conv3d_banded_packed_ad_stats: values AND gradients of the
+    (conv, (sum, sumsq)) pair match the lax.conv + jnp-reduction
+    composite — including cotangents flowing in through the stats
+    (the training instance norm consumes them, VERDICT r3 item 5)."""
+    from values_tpu.ops.pallas.conv3d import (LANES,
+                                              conv3d_banded_packed_ad_stats)
+    B, D, H, W, G, cin, cout = 8, 8, 8, 16, 2, 8, 8
+    bp = LANES // W
+    x = jnp.asarray(rs.randn(B, D, H, W, G * cin), dtype=jnp.float32)
+    k = jnp.asarray(rs.randn(3, 3, 3, cin, G * cout) * 0.2,
+                    dtype=jnp.float32)
+    bias = jnp.asarray(rs.randn(G * cout), dtype=jnp.float32)
+    cot = jnp.asarray(rs.randn(B, D, H, W, G * cout), dtype=jnp.float32)
+    cs = jnp.asarray(rs.randn(B, G * cout), dtype=jnp.float32)
+
+    def consume(y_flat, mean, sq_mean):
+        # a norm-like consumer: elementwise use of y plus per-item use of
+        # BOTH statistics, so ds1 and ds2 are exercised
+        return (jnp.sum(y_flat * cot)
+                + jnp.sum(mean * cs) + jnp.sum(sq_mean * (cs ** 2)))
+
+    def loss_ref(x, k, b):
+        y = _ref_conv(x, k, b, G)
+        n_vox = D * H * W
+        mean = jnp.sum(y, axis=(1, 2, 3)) / n_vox
+        sq = jnp.sum(y * y, axis=(1, 2, 3)) / n_vox
+        return consume(y, mean, sq)
+
+    def loss_got(x, k, b):
+        yp, (s1, s2) = conv3d_banded_packed_ad_stats(
+            pack_ndhwc(x, bp), k, b, G, w_item=W, interpret=True)
+        y = unpack_ndhwc(yp, bp)
+        # lane-resolved stats -> per-item sums (what the norm consumes)
+        from values_tpu.models.ensemble_unet3d_pallas import (
+            _lane_block_sum_matrix)
+        s = jnp.asarray(_lane_block_sum_matrix(LANES, bp), jnp.float32)
+        dims = (((2,), (0,)), ((), ()))
+        n_vox = D * H * W
+        per_item = lambda a: jnp.transpose(
+            jax.lax.dot_general(a, s, dims), (0, 2, 1)).reshape(
+                B, G * cout)
+        return consume(y, per_item(s1) / n_vox, per_item(s2) / n_vox)
+
+    np.testing.assert_allclose(loss_got(x, k, bias), loss_ref(x, k, bias),
+                               rtol=2e-4)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, k, bias)
+    g_got = jax.grad(loss_got, argnums=(0, 1, 2))(x, k, bias)
+    for a, b, name in zip(g_got, g_ref, ("dx", "dk", "db")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=2e-3, err_msg=name)

@@ -299,7 +299,17 @@ def _conv(x, params, groups, w_item, bp, *, activation="none",
                                  (nb_, d_, h_, c_, 8, l_))
             x = x.reshape(nb_, d_, h_, c_ * 8, l_)
         if ad:  # differentiable training path: conv(+act), custom VJP
-            assert x2 is None and prologue is None and not emit_stats
+            assert x2 is None and prologue is None
+            if emit_stats:
+                # training norm blocks: stats ride the kernel epilogue
+                # (custom VJP folds their cotangents into dy) so the
+                # instance norm needs no full-tensor reductions
+                assert activation == "none"
+                from ..ops.pallas.conv3d import (
+                    conv3d_banded_packed_ad_stats)
+                return conv3d_banded_packed_ad_stats(
+                    x, kernel, bias, groups, w_item=w_item,
+                    tiling=_tiling, interpret=interpret)
             return conv3d_banded_packed_ad(x, kernel, bias, groups,
                                            w_item=w_item, tiling=_tiling,
                                            activation=activation,
@@ -435,6 +445,29 @@ def _concat_maps(m1, m2, groups):
 
 # -- the forward --------------------------------------------------------------
 
+def _instance_norm_from_stats(x, stats, bp):
+    """Instance norm whose (sum, sumsq) come from the producing conv's
+    epilogue instead of two full-tensor reductions (the training-path
+    counterpart of the fused inference chain; VERDICT r3 item 5). Only
+    the tiny (nb, C, lanes) -> (nb, C, bp) lane-block contractions and
+    one normalize pass remain. Differentiable end to end: the stats'
+    cotangents flow back through conv3d_banded_packed_ad_stats."""
+    nb, d, h, c, lanes = x.shape
+    n_vox = d * h * (lanes // bp)
+    ssum, ssq = stats
+    s = jnp.asarray(_lane_block_sum_matrix(lanes, bp), jnp.float32)
+    dims = (((2,), (0,)), ((), ()))
+    mean = jax.lax.dot_general(ssum, s, dims) / n_vox       # (nb, c, bp)
+    var = jnp.maximum(
+        jax.lax.dot_general(ssq, s, dims) / n_vox - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + 1e-5)
+    st = jnp.asarray(_lane_block_sum_matrix(lanes, bp).T, jnp.float32)
+    scale = jax.lax.dot_general(inv, st, dims)              # (nb, c, lanes)
+    shift = jax.lax.dot_general(mean * inv, st, dims)
+    return (x.astype(jnp.float32) * scale[:, None, None]
+            - shift[:, None, None]).astype(x.dtype)
+
+
 def grouped_forward_packed(grouped_variables: Dict, x: jnp.ndarray,
                            members: int, w_item: int, *,
                            do_dropout: bool = False,
@@ -467,19 +500,32 @@ def grouped_forward_packed(grouped_variables: Dict, x: jnp.ndarray,
     state = {"w": w_item, "bp": x.shape[-1] // w_item}
     repacks = []  # encoder records, decoder replays in reverse
 
+    # norm-block statistics ride the conv kernel's epilogue in trainable
+    # mode too (custom VJP; VALUES_TPU_TRAIN_FUSED_NORM=0 is the on-chip
+    # A/B lever back to the standalone jnp instance norm)
+    fused_norm = (trainable and os.environ.get(
+        "VALUES_TPU_TRAIN_FUSED_NORM", "1") != "0")
+
     def block(v, name, norm=True, relu="leaky", dropout=True):
         # without a norm between them, the activation fuses into the conv
         # kernel's epilogue (f32 registers, zero extra HBM passes) — in
         # trainable mode too: the custom VJP recovers the activation
         # derivative from the saved post-activation output
         act = "none" if norm else relu
-        v = _conv(v, p[name]["conv"] if "conv" in p[name] else p[name],
-                  members, state["w"], state["bp"], activation=act,
-                  interpret=interpret, ad=trainable)
+        out = _conv(v, p[name]["conv"] if "conv" in p[name] else p[name],
+                    members, state["w"], state["bp"], activation=act,
+                    emit_stats=norm and fused_norm,
+                    interpret=interpret, ad=trainable)
         if norm:
-            v = _instance_norm(v, state["bp"])
+            if fused_norm:
+                v, stats = out
+                v = _instance_norm_from_stats(v, stats, state["bp"])
+            else:
+                v = _instance_norm(out, state["bp"])
             v = (jax.nn.leaky_relu(v, 0.01) if relu == "leaky"
                  else jax.nn.relu(v))
+        else:
+            v = out
         if do_dropout and dropout:
             v = _dropout(v, next(rngs))
         return v

@@ -832,6 +832,12 @@ def _banded_packed_ad_bwd(groups, w_item, tiling, interpret, activation,
         slope = jnp.asarray(0.01 if activation == "leaky" else 0.0,
                             dy.dtype)
         dy = jnp.where(y_act > 0, dy, slope * dy)
+    return _banded_bwd_core(groups, w_item, interpret, x, kernel, dy)
+
+
+def _banded_bwd_core(groups, w_item, interpret, x, kernel, dy):
+    """Shared (dx, dkernel, dbias) of the packed banded conv given the
+    pre-activation cotangent dy."""
     bias_dtype = kernel.dtype  # bias rides the same cast as the kernel
     cin = kernel.shape[3]
     cout = kernel.shape[4] // groups
@@ -858,6 +864,59 @@ def _banded_packed_ad_bwd(groups, w_item, tiling, interpret, activation,
 
 
 _banded_packed_ad.defvjp(_banded_packed_ad_fwd, _banded_packed_ad_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _banded_packed_ad_stats(groups, w_item, tiling, interpret, x, kernel,
+                            bias):
+    return conv3d_banded_packed(x, kernel, bias, groups, w_item=w_item,
+                                tiling=tiling, emit_stats=True,
+                                interpret=interpret)
+
+
+def _banded_packed_ad_stats_fwd(groups, w_item, tiling, interpret, x,
+                                kernel, bias):
+    out = conv3d_banded_packed(x, kernel, bias, groups, w_item=w_item,
+                               tiling=tiling, emit_stats=True,
+                               interpret=interpret)
+    y, _ = out
+    return out, (x, kernel, y)
+
+
+def _banded_packed_ad_stats_bwd(groups, w_item, tiling, interpret, res,
+                                cts):
+    """Backward of (conv, (sum, sumsq)): the stats outputs are plain
+    (d, h, w)-sums of y and y^2 per (channel, lane), so their cotangents
+    fold into dy elementwise — d_sum broadcasts, d_sumsq rides 2*y —
+    and the rest is the shared conv backward. This is what lets the
+    TRAINING forward get its instance-norm statistics from the kernel
+    epilogue for free (VERDICT r3 item 5) instead of two standalone
+    full-tensor reduction passes per norm site."""
+    x, kernel, y = res
+    dy, (ds1, ds2) = cts
+    dy32 = (dy.astype(jnp.float32) + ds1[:, None, None]
+            + 2.0 * y.astype(jnp.float32) * ds2[:, None, None])
+    dy = dy32.astype(dy.dtype)
+    return _banded_bwd_core(groups, w_item, interpret, x, kernel, dy)
+
+
+_banded_packed_ad_stats.defvjp(_banded_packed_ad_stats_fwd,
+                               _banded_packed_ad_stats_bwd)
+
+
+def conv3d_banded_packed_ad_stats(x: jnp.ndarray, kernel: jnp.ndarray,
+                                  bias: jnp.ndarray, groups: int = 1, *,
+                                  w_item: int,
+                                  tiling: Optional[Tuple] = None,
+                                  interpret: bool = False):
+    """Differentiable packed banded conv that ALSO returns the kernel
+    epilogue's lane-resolved (sum, sumsq) f32 statistics of the
+    pre-activation output — gradients flow through both (custom VJP).
+    The training path's instance-norm consumes these instead of
+    re-reducing the full tensor (see _banded_packed_ad_stats_bwd)."""
+    tiling = tuple(tiling) if tiling is not None else None
+    return _banded_packed_ad_stats(groups, w_item, tiling, interpret, x,
+                                   kernel, bias)
 
 
 def conv3d_banded_packed_ad(x: jnp.ndarray, kernel: jnp.ndarray,
