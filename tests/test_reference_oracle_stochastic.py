@@ -1,12 +1,13 @@
 """Statistical composed-pipeline goldens for the STOCHASTIC C1 families.
 
 VERDICT r3 item 4: the deterministic cross-implementation oracle
-(tests/test_reference_oracle.py) pins Softmax and Deep Ensemble bitwise,
-but MC-dropout and TTA draw RNG that cannot match across frameworks.
-Here the REFERENCE's own composed pipeline (test_3D.py:399-622, executed
-via tests/refshims at float64) and values_tpu's composed pipeline run the
+(tests/test_reference_oracle.py) pins Softmax and Deep Ensemble bitwise;
+the four stochastic families — MC-dropout, TTA, aleatoric logit
+sampling, SSN — draw RNG that cannot match across frameworks. Here the
+REFERENCE's own composed pipeline (test_3D.py:361-622, executed via
+tests/refshims at float64) and values_tpu's composed pipeline run the
 same checkpoints over the same volumes at high n_pred, and their outputs
-are compared STATISTICALLY:
+are compared STATISTICALLY (all 6 C1 families are now oracled):
 
 - per-image composed statistics (mean-softmax Dice, GED, image-level
   PE/EE/MI sums, patch-level max) must agree within tolerance bands
@@ -19,7 +20,9 @@ are compared STATISTICALLY:
 - TTA additionally has a DETERMINISTIC half: the 8 flip variants of the
   clean input (test_3D.py:427-456) depend on no RNG, so exactly 8 of the
   reference's 16 per-pred softmax volumes must match 8 of ours to <=1e-6
-  (the same tolerance the bitwise oracle holds).
+  (the same tolerance the bitwise oracle holds). The aleatoric family's
+  deterministic half is its sigma = exp(s/2) volumes (test_3D.py:460),
+  compared exactly the same way.
 
 Platt/ACE and the threshold chain are exercised bitwise by the
 deterministic-family oracle; their INPUTS (uncertainty maps, dice) are
@@ -44,6 +47,8 @@ from values_tpu.training.loops import fit
 
 P = 16                   # patch size; volumes are 32^3 => 8 windows each
 N_PRED = 64              # MC-dropout passes (TTA is fixed at 16)
+N_ALEATORIC = 32         # logit samples for the aleatoric family
+N_SSN = 64               # low-rank-MVN draws for the SSN family
 B_BOOT = 64              # bootstrap replicates for the tolerance bands
 # ids straddle the toy OoD rule (id > 20 is ID, reference auroc.py:17-23)
 TEST_IDS = ["0015", "0018", "0022", "0025"]
@@ -58,8 +63,8 @@ pytestmark = [
 ]
 
 
-def _hparams(data_root, save_dir, do_dropout: bool):
-    return {
+def _hparams(data_root, save_dir, family: str):
+    h = {
         "seed": 123,
         "data_input_dir": str(data_root),
         "save_dir": str(save_dir),
@@ -72,9 +77,23 @@ def _hparams(data_root, save_dir, do_dropout: bool):
         "model": {
             "_target_": "uncertainty_modeling.models.unet3D_module.UNet3D",
             "num_classes": 2, "in_channels": 1, "initial_filter_size": 2,
-            "do_instancenorm": True, "do_dropout": do_dropout,
+            "do_instancenorm": True, "do_dropout": family == "dropout",
         },
     }
+    if family == "aleatoric":
+        h["model"]["aleatoric_loss"] = True
+        # the reference dispatches the aleatoric loop on this hparams key
+        # and samples hparams["n_aleatoric_samples"] logits per model
+        # (test_3D.py:679-687)
+        h["n_aleatoric_samples"] = N_ALEATORIC
+    if family == "ssn":
+        h["model"] = {
+            "_target_":
+                "uncertainty_modeling.models.ssn_unet3D_module.SsnUNet3D",
+            "num_classes": 2, "in_channels": 1, "initial_filter_size": 2,
+            "do_instancenorm": True, "rank": 10, "epsilon": 1e-5,
+        }
+    return h
 
 
 @pytest.fixture(scope="module")
@@ -107,10 +126,18 @@ def stochastic_env(tmp_path_factory):
             (case / "labelsTs" / f"{old}_{rater:02d}.nii.gz").rename(
                 case / "labelsTs" / f"{new_id}_{rater:02d}.nii.gz")
 
-    # one plain member (drives TTA) + one MC-dropout member
+    # one member per family: plain (drives TTA), MC-dropout, aleatoric
+    # logit sampling, SSN
     ckpts = {}
-    for key, config_name, seed in (("tta", "softmax_config", 123),
-                                   ("dropout", "dropout_config", 125)):
+    trainings = (
+        ("tta", "softmax_config", 123, []),
+        ("dropout", "dropout_config", 125, []),
+        ("aleatoric", "softmax_config", 127,
+         ["+model.aleatoric_loss=true", "+aleatoric_loss=true",
+          "+n_aleatoric_samples=5"]),
+        ("ssn", "ssn_config", 129, ["pretrain_epochs=1"]),
+    )
+    for key, config_name, seed, extra in trainings:
         cfg = compose("configs", config_name, [
             f"data_input_dir={data_root}",
             f"save_dir={root}/train",
@@ -119,13 +146,13 @@ def stochastic_env(tmp_path_factory):
             f"datamodule.patch_size={P}",
             "datamodule.batch_size=2", "datamodule.data_num_folds=3",
             "model.initial_filter_size=2", f"seed={seed}",
-        ])
+        ] + extra)
         native = fit(cfg)
         _, variables = load_any_checkpoint(native)
         path = root / f"member-{key}.ckpt"
         export_reference_checkpoint(
             str(path), variables,
-            _hparams(data_root, root / "ref_out", key == "dropout"))
+            _hparams(data_root, root / "ref_out", key))
         ckpts[key] = str(path)
 
     ref_out, our_out = root / "ref_out", root / "our_out"
@@ -133,6 +160,13 @@ def stochastic_env(tmp_path_factory):
         {"pred_model": "Dropout", "key": "dropout", "n_pred": N_PRED,
          "tta": False},
         {"pred_model": "TTA", "key": "tta", "n_pred": 1, "tta": True},
+        # aleatoric: the reference samples hparams["n_aleatoric_samples"]
+        # logits per model but gates the uncertainty computation on
+        # args.n_pred > 1 — pass the sample count as n_pred too
+        {"pred_model": "Aleatoric", "key": "aleatoric",
+         "n_pred": N_ALEATORIC, "tta": False},
+        {"pred_model": "SSN", "key": "ssn", "n_pred": N_SSN,
+         "tta": False},
     ]
 
     # reference side (inference only; the eval-layer math is pinned
@@ -314,7 +348,12 @@ def _downstream(stats_by_image: dict) -> dict:
             "aurc": aurc(risks, -scores)}
 
 
-@pytest.mark.parametrize("pred_model", ["Dropout", "TTA"])
+N_EXPECTED = {"Dropout": N_PRED, "TTA": 16, "Aleatoric": N_ALEATORIC,
+              "SSN": N_SSN}
+
+
+@pytest.mark.parametrize("pred_model",
+                         ["Dropout", "TTA", "Aleatoric", "SSN"])
 def test_stochastic_family_statistical_agreement(stochastic_env,
                                                  pred_model):
     ref_dir = _split_dir(stochastic_env["ref_out"], pred_model)
@@ -333,11 +372,24 @@ def test_stochastic_family_statistical_agreement(stochastic_env,
     for image_id in TEST_IDS:
         ref_stack = _load_stack(ref_dir, image_id)
         our_stack = _load_stack(our_dir, image_id)
-        n_expected = 16 if pred_model == "TTA" else N_PRED
+        n_expected = N_EXPECTED[pred_model]
         assert ref_stack.shape[0] == our_stack.shape[0] == n_expected
         ref_gt = _load_gt(ref_dir, image_id)
         our_gt = _load_gt(our_dir, image_id)
         np.testing.assert_allclose(our_gt, ref_gt, atol=1e-6)
+
+        if pred_model == "Aleatoric":
+            # deterministic half: the sigma = exp(s/2) volumes depend on
+            # no RNG — exact agreement at oracle tolerance
+            ref_sig = sorted(ref_dir.glob(f"sigma/{image_id}*.nii.gz"))
+            our_sig = sorted(our_dir.glob(f"sigma/{image_id}*.nii.gz"))
+            assert ref_sig and [p.name for p in ref_sig] == [
+                p.name for p in our_sig]
+            for rf, of in zip(ref_sig, our_sig):
+                np.testing.assert_allclose(
+                    np.asarray(nifti.load(of)[0], np.float64),
+                    np.asarray(nifti.load(rf)[0], np.float64),
+                    atol=1e-6, rtol=1e-6, err_msg=rf.name)
 
         if pred_model == "TTA":
             # deterministic half: the 8 clean-input flip variants must

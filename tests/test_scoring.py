@@ -387,3 +387,35 @@ def test_packed_aleatoric_scorer_pallas_sampler():
     # dice row in [0, 1]; entropy sums positive
     assert (got[0] >= 0).all() and (got[0] <= 1).all()
     assert (got[2] > 0).all()  # pred_entropy image_level sum
+
+
+def test_hybrid_scorer_matches_packed():
+    """XLA-conv + packed-stats hybrid == the fully-packed scorer to
+    conv-rounding tolerance (same weights, same statistics math; only
+    the conv lowering differs)."""
+    from values_tpu.inference.scoring import (make_hybrid_scorer,
+                                              make_packed_scorer)
+    base = UNet3D(num_classes=2, initial_filter_size=8)
+    keys = jax.random.split(jax.random.PRNGKey(0), MEMBERS)
+    stacked = group_member_variables(
+        [base.init(k, jnp.zeros((1, PATCH, PATCH, PATCH, 1)))
+         for k in keys])
+    rs = np.random.RandomState(0)
+    vols = jnp.asarray(rs.rand(B, PATCH, PATCH, PATCH, 1)
+                       .astype(np.float32))
+    gt = jnp.asarray((rs.rand(B, PATCH, PATCH, PATCH) > 0.7)
+                     .astype(np.int32))
+    rng = jax.random.PRNGKey(1)
+
+    packed_fn, _ = make_packed_scorer(MEMBERS, PATCH, agg_patch=4,
+                                      threshold=0.3, dtype=jnp.float32,
+                                      interpret=True)
+    hybrid_fn, rows = make_hybrid_scorer(2, MEMBERS, PATCH,
+                                         initial_filter_size=8,
+                                         agg_patch=4, threshold=0.3,
+                                         dtype=jnp.float32)
+    assert rows == score_rows()
+    got = np.asarray(hybrid_fn(stacked, vols, gt, rng))
+    want = np.asarray(packed_fn(stacked, vols, gt, rng))
+    assert got.shape == want.shape == (10, B)
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=1e-3)

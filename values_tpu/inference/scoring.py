@@ -168,6 +168,48 @@ def make_packed_scorer(members: int, patch: int, *,
     return score, score_rows()
 
 
+def make_hybrid_scorer(num_classes: int, members: int, patch: int, *,
+                       initial_filter_size: int = 8,
+                       agg_patch: int = 10, threshold: float = 0.3,
+                       ignore_index: int = 0, dtype=jnp.bfloat16
+                       ) -> Tuple[Callable, List[str]]:
+    """XLA grouped convs + the packed C2/C3 consumers.
+
+    At large window batches (>= ~96) XLA's batch-minor conv layouts run
+    the forward at the HBM roofline and beat the banded kernel (ROADMAP
+    r2 findings; the r3 batch-128 headline), while the stats tail is
+    fastest in the packed lane layout. This scorer takes both: the
+    ensemble forward stays in NDHWC for XLA, then ONE pack transpose of
+    the final logits feeds fused_sample_statistics_packed and the packed
+    aggregations — instead of either unpacking every map (the r2 tail)
+    or forcing the conv through the banded kernel at a batch where it
+    loses. Same (10, B) contract as make_packed_scorer."""
+    if LANES % patch:
+        raise ValueError(f"patch={patch} must divide {LANES} for the "
+                         "packed layout; use SlidingWindowEngine")
+    bp = LANES // patch
+    from ..models.ensemble_unet3d import EnsembleUNet3D
+    model = EnsembleUNet3D(num_classes=num_classes, members=members,
+                           initial_filter_size=initial_filter_size,
+                           dtype=dtype)
+
+    def score(stacked_variables, volumes, gt, rng):
+        del rng  # deterministic ensemble forward
+        volumes, gt, b = _pad_batch(volumes, gt, bp)
+        gv = jax.tree_util.tree_map(lambda a: a.astype(dtype),
+                                    stacked_variables)
+        logits = model.apply(gv, volumes.astype(dtype))
+        bb, d, h, w, m, c = logits.shape
+        packed = pack_ndhwc(logits.reshape(bb, d, h, w, m * c), bp)
+        packed = packed.reshape(packed.shape[0], d, h, m, c, LANES)
+        stats = packed_stats.fused_sample_statistics_packed(packed)
+        return _score_from_stats(stats, gt, bp, agg_patch=agg_patch,
+                                 threshold=threshold,
+                                 ignore_index=ignore_index)[:, :b]
+
+    return score, score_rows()
+
+
 def make_packed_aleatoric_scorer(members: int, patch: int, *,
                                  n_aleatoric_samples: int = 10,
                                  agg_patch: int = 10,

@@ -208,6 +208,18 @@ def unet3d_params_to_torch(variables: Mapping[str, Any]) -> Dict[str, Any]:
                                   (4, 3, 0, 1, 2))
             state[f"model.{module}.weight"] = to_tensor(kernel)
             state[f"model.{module}.bias"] = to_tensor(leaves["bias"])
+    if "mean_conv" in params and "model.final.weight" not in state:
+        # the reference SsnUNet3D inherits an UNUSED `final` head sized
+        # num_classes*2 + num_classes*rank (ssn_unet3D_module.py:19-27);
+        # flax never materializes it (the SSN trunk runs last_layer=False)
+        # but torch's strict load_state_dict requires the keys
+        f = np.asarray(params["mean_conv"]["kernel"]).shape[-2]
+        c = np.asarray(params["mean_conv"]["kernel"]).shape[-1]
+        cr = np.asarray(params["cov_factor_conv"]["kernel"]).shape[-1]
+        state["model.final.weight"] = to_tensor(
+            np.zeros((2 * c + cr, f, 1, 1, 1), dtype=np.float32))
+        state["model.final.bias"] = to_tensor(
+            np.zeros((2 * c + cr,), dtype=np.float32))
     if "model.output_reconstruction_map.weight" not in state:
         # flax only materializes params on traced paths, so the unused
         # autoencoder head (unet3D_module.py:207-209) has no variables
