@@ -49,11 +49,7 @@ def test_lowrank_mvn_degenerate_fallback():
     assert np.abs(np.asarray(samples)).max() < 1.0
 
 
-@needs_ref
-def test_ssn_unet_distribution_parity(rng):
-    """Converted reference SSN weights must produce identical distribution
-    parameters (mean / cov_diag / cov_factor in torch's flattening)."""
-    import torch
+def _load_reference_ssn():
     spec_u = importlib.util.spec_from_file_location(
         "ref_unet3d", os.path.join(REF_DIR, "unet3D_module.py"))
     mod_u = importlib.util.module_from_spec(spec_u)
@@ -69,6 +65,15 @@ def test_ssn_unet_distribution_parity(rng):
         "from ref_unet3d import UNet3D")
     mod_s = type(sys)("ref_ssn")
     exec(src, mod_s.__dict__)
+    return mod_s
+
+
+@needs_ref
+def test_ssn_unet_distribution_parity(rng):
+    """Converted reference SSN weights must produce identical distribution
+    parameters (mean / cov_diag / cov_factor in torch's flattening)."""
+    import torch
+    mod_s = _load_reference_ssn()
 
     with jax.enable_x64(True):
         tm = mod_s.SsnUNet3D(num_classes=2, initial_filter_size=2,
@@ -98,3 +103,36 @@ def test_mean_only_zero_factor(rng):
     x = jnp.asarray(rng.rand(1, 16, 16, 16, 1).astype(np.float32))
     dist = jm.apply(variables, x, mean_only=True)
     assert np.all(np.asarray(dist.cov_factor) == 0.0)
+
+
+@needs_ref
+def test_ssn_export_strict_load_roundtrip(rng):
+    """flax SSN params -> reference-layout state_dict -> strict torch load
+    -> identical distribution parameters. Covers the synthesized unused
+    `final` head the reference SsnUNet3D inherits sized
+    num_classes*2 + num_classes*rank (ssn_unet3D_module.py:19-27)."""
+    import torch
+    from values_tpu.models.torch_import import unet3d_params_to_torch
+    mod_s = _load_reference_ssn()
+    with jax.enable_x64(True):
+        jm = SsnUNet3D(num_classes=2, initial_filter_size=2, rank=3,
+                       dtype=jnp.float64, param_dtype=jnp.float64)
+        variables = jm.init(jax.random.PRNGKey(1),
+                            jnp.zeros((1, 16, 16, 16, 1), jnp.float64))
+        state = unet3d_params_to_torch(variables)
+        tm = mod_s.SsnUNet3D(num_classes=2, initial_filter_size=2,
+                             rank=3).double().eval()
+        tm.load_state_dict(
+            {k[len("model."):]: v.double() for k, v in state.items()},
+            strict=True)
+        x = rng.randn(1, 1, 16, 16, 16).astype(np.float64)
+        with torch.no_grad():
+            t_dist = tm(torch.tensor(x))
+        j_dist = jm.apply(variables,
+                          jnp.asarray(np.transpose(x, (0, 2, 3, 4, 1))))
+        np.testing.assert_allclose(np.asarray(j_dist.mean),
+                                   t_dist.loc.numpy(), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(j_dist.cov_diag),
+                                   t_dist.cov_diag.numpy(), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(j_dist.cov_factor),
+                                   t_dist.cov_factor.numpy(), atol=1e-10)

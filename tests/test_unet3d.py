@@ -130,3 +130,41 @@ def test_enable_concat_false_uses_reconstruction_head(rng):
     out = jax.jit(lambda v, x: jm.apply(v, x, enable_concat=False))(
         variables, x)
     assert out.shape == (1, 16, 16, 16, 1)
+
+@needs_ref
+@pytest.mark.parametrize("aleatoric", [False, True])
+def test_export_strict_load_roundtrip(rng, aleatoric):
+    """flax params -> reference-layout state_dict -> strict torch load ->
+    forward parity. Covers the synthesized heads the reference constructs
+    but flax never materializes (unused `final` under aleatoric_loss,
+    unet3D_module.py:199; unused AE head, :207-209)."""
+    import torch
+    from values_tpu.models.torch_import import unet3d_params_to_torch
+    RefUNet = _load_reference_unet()
+    with jax.enable_x64(True):
+        jm = UNet3D(num_classes=2, initial_filter_size=4,
+                    aleatoric_loss=aleatoric,
+                    dtype=jnp.float64, param_dtype=jnp.float64)
+        variables = jm.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 16, 16, 16, 1), jnp.float64))
+        state = unet3d_params_to_torch(variables)
+        tm = RefUNet(num_classes=2, initial_filter_size=4,
+                     aleatoric_loss=aleatoric).double().eval()
+        # test_3D.py:236-238 strips the Lightning "model." prefix
+        tm.load_state_dict(
+            {k[len("model."):]: v.double() for k, v in state.items()},
+            strict=True)
+        x = rng.randn(1, 1, 16, 16, 16).astype(np.float64)
+        with torch.no_grad():
+            t_out = tm(torch.tensor(x))
+        j_out = jm.apply(variables,
+                         jnp.asarray(np.transpose(x, (0, 2, 3, 4, 1))))
+        if aleatoric:
+            for t, j in zip(t_out, j_out):
+                np.testing.assert_allclose(
+                    np.transpose(np.asarray(j), (0, 4, 1, 2, 3)),
+                    t.numpy(), atol=1e-10)
+        else:
+            np.testing.assert_allclose(
+                np.transpose(np.asarray(j_out), (0, 4, 1, 2, 3)),
+                t_out.numpy(), atol=1e-10)

@@ -208,6 +208,16 @@ def unet3d_params_to_torch(variables: Mapping[str, Any]) -> Dict[str, Any]:
                                   (4, 3, 0, 1, 2))
             state[f"model.{module}.weight"] = to_tensor(kernel)
             state[f"model.{module}.bias"] = to_tensor(leaves["bias"])
+    if "final_aleatoric" in params and "model.final.weight" not in state:
+        # the reference's aleatoric UNet3D still constructs the plain
+        # `final` head (unet3D_module.py:199) even though only
+        # final_aleatoric runs; flax never materializes it
+        k = np.asarray(params["final_aleatoric"]["kernel"])
+        f, two_c = k.shape[-2], k.shape[-1]
+        state["model.final.weight"] = to_tensor(
+            np.zeros((two_c // 2, f, 1, 1, 1), dtype=np.float32))
+        state["model.final.bias"] = to_tensor(
+            np.zeros((two_c // 2,), dtype=np.float32))
     if "mean_conv" in params and "model.final.weight" not in state:
         # the reference SsnUNet3D inherits an UNUSED `final` head sized
         # num_classes*2 + num_classes*rank (ssn_unet3D_module.py:19-27);
