@@ -109,19 +109,25 @@ class DsTaskTable:
                if dataset_split is not None else metric_name)
         levels = probs["levels"]
         key = probs["metrics_key"]
-        idx = pd.IndexSlice
 
         def put(selector, values):
+            # full-tuple .at assignment: the row order is a preserved
+            # contract (configured, not lexsorted), and partial-selector
+            # .loc on an unsorted MultiIndex warns on every call
             values = np.array(values, dtype=float)
-            mean_df.loc[selector, [col]] = float(np.mean(values))
-            std_df.loc[selector, [col]] = float(np.std(values, ddof=1))
+            m = float(np.mean(values))
+            s = float(np.std(values, ddof=1))
+            for row in mean_df.index:
+                if tuple(row)[:len(selector)] == selector:
+                    mean_df.at[row, col] = m
+                    std_df.at[row, col] = s
 
         if len(levels) == 1:
-            put(idx[v.pred_model],
+            put((v.pred_model,),
                 [self._metric_from(d["mean"], key) for d in metric_dicts])
         elif len(levels) == 2:
             for unc_type in v.unc_types:
-                put(idx[v.pred_model, unc_type],
+                put((v.pred_model, unc_type),
                     [self._metric_from(d["mean"][unc_type], key)
                      for d in metric_dicts])
         else:
@@ -131,7 +137,7 @@ class DsTaskTable:
                              if u != "aleatoric_uncertainty"]
             for unc_type in unc_types:
                 for aggregation in v.aggregations:
-                    put(idx[v.pred_model, unc_type, aggregation],
+                    put((v.pred_model, unc_type, aggregation),
                         [self._metric_from(
                             d["mean"][unc_type][aggregation], key)
                          for d in metric_dicts])
