@@ -31,6 +31,7 @@ number when that hardware is available.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -44,6 +45,21 @@ N_VOLUMES = 2048   # benchmark total
 WARMUP_BATCHES = 2
 AGG_PATCH = 10     # reference patch_level_aggregation window
 THRESHOLD = 0.3
+
+# VALUES_TPU_BENCH_SMOKE=1: CPU-runnable integration check — tiny
+# geometry, one dispatch per measure, and LOUD auxiliary failures
+# (collected into the JSON, nonzero exit). The driver runs the real
+# bench unattended on the chip; the smoke mode proves every measurement
+# code path executes BEFORE a tunnel window gets spent on it. Timings
+# produced under smoke are meaningless and flagged as such.
+SMOKE = os.environ.get("VALUES_TPU_BENCH_SMOKE") == "1"
+if SMOKE:
+    PATCH = 16
+    BATCH = 8
+    N_VOLUMES = 32
+    WARMUP_BATCHES = 1
+N_TIMING = 1 if SMOKE else 3
+SMOKE_FAILURES: list = []
 
 
 def build_workload():
@@ -273,7 +289,7 @@ def measure_streaming_aleatoric(batch: int = 32) -> float:
 
     np.asarray(chained(stacked, vols, gt, rng))  # warm
     best = float("inf")
-    for _ in range(3):
+    for _ in range(N_TIMING):
         t0 = time.perf_counter()
         np.asarray(chained(stacked, vols, gt, rng))
         best = min(best, time.perf_counter() - t0)
@@ -318,7 +334,7 @@ def measure_streaming_ssn(batch: int = 16, n_pred: int = 10) -> float:
 
     np.asarray(chained(stacked, vols, gt, rng))  # warm
     best = float("inf")
-    for _ in range(3):
+    for _ in range(N_TIMING):
         t0 = time.perf_counter()
         np.asarray(chained(stacked, vols, gt, rng))
         best = min(best, time.perf_counter() - t0)
@@ -356,7 +372,7 @@ def measure_small_batch_forward(backend: str, batch: int = 16) -> float:
                            (batch, PATCH, PATCH, PATCH, 1), jnp.float32)
     # small batches finish in ~30 ms; chain enough steps that the relay
     # tunnel's per-dispatch RTT (hundreds of ms) amortizes below 10%
-    repeats = 64
+    repeats = 4 if SMOKE else 64
 
     @jax.jit
     def chained(stacked, x, rng):
@@ -371,7 +387,7 @@ def measure_small_batch_forward(backend: str, batch: int = 16) -> float:
     out = np.asarray(chained(stacked, x, rng))
     assert np.all(np.isfinite(out))
     best = float("inf")
-    for _ in range(3):
+    for _ in range(N_TIMING):
         t0 = time.perf_counter()
         np.asarray(chained(stacked, x, rng))
         best = min(best, time.perf_counter() - t0)
@@ -428,7 +444,7 @@ def measure_train_step(backend: str = "packed", batch: int = 8,
     state, losses = steps(state, data, seg, rng)
     jax.block_until_ready(losses)
     best = float("inf")
-    for _ in range(3):
+    for _ in range(N_TIMING):
         t0 = time.perf_counter()
         state, losses = steps(state, data, seg, rng)
         np.asarray(losses)
@@ -547,14 +563,14 @@ def main() -> None:
     # (values_tpu.data.pipeline), so the steady-state number is the
     # on-device pipeline throughput: one compiled program scans the staged
     # pool, and only the per-volume scalars leave the chip at the end.
-    K_POOL = 4
+    K_POOL = 2 if SMOKE else 4
     vol_pool = jnp.asarray(rs.rand(
         K_POOL, BATCH, PATCH, PATCH, PATCH, 1).astype(np.float32))
     gt_pool = jnp.asarray(
         (rs.rand(K_POOL, BATCH, PATCH, PATCH, PATCH) > 0.7).astype(np.uint8))
     jax.block_until_ready((vol_pool, gt_pool))
 
-    REPEATS = 8
+    REPEATS = 1 if SMOKE else 8
     for _ in range(WARMUP_BATCHES):
         out = run_pool(stacked, vol_pool, gt_pool, rng, repeats=REPEATS)
         np.asarray(out)
@@ -564,7 +580,7 @@ def main() -> None:
     # best of N repetitions (standard practice: measures the machine, not
     # the tunnel weather), each repetition fully synchronized via the
     # scalar fetch of its results.
-    n_dispatches = 3
+    n_dispatches = N_TIMING
     per_dispatch_volumes = K_POOL * BATCH * REPEATS
     best = float("inf")
     all_scores = None
@@ -605,6 +621,7 @@ def main() -> None:
             volumes_per_sec, best = packed_vps, best_packed
     except Exception as exc:  # pragma: no cover - defensive bench path
         import sys
+        SMOKE_FAILURES.append(f"packed: {type(exc).__name__}: {exc}")
         print(f"packed pipeline skipped: {type(exc).__name__}: {exc}",
               file=sys.stderr)
 
@@ -631,6 +648,7 @@ def main() -> None:
             volumes_per_sec, best = hybrid_vps, best_hybrid
     except Exception as exc:  # pragma: no cover - defensive bench path
         import sys
+        SMOKE_FAILURES.append(f"hybrid: {type(exc).__name__}: {exc}")
         print(f"hybrid pipeline skipped: {type(exc).__name__}: {exc}",
               file=sys.stderr)
 
@@ -642,7 +660,7 @@ def main() -> None:
     # H2D cost.
     host_vols = np.asarray(vol_pool)
     host_gts = np.asarray(gt_pool)
-    e2e_batches = 8
+    e2e_batches = 2 if SMOKE else 8
     _ = np.asarray(_step(stacked, vol_pool[0], gt_pool[0], rng))  # warm
     t0 = time.perf_counter()
     for i in range(e2e_batches):
@@ -660,18 +678,23 @@ def main() -> None:
             return fn(*args, **kw)
         except Exception as exc:  # pragma: no cover - defensive bench
             import sys
+            SMOKE_FAILURES.append(
+                f"{fn.__name__}{args}: {type(exc).__name__}: {exc}")
             print(f"{fn.__name__}{args} skipped: "
                   f"{type(exc).__name__}: {exc}", file=sys.stderr)
             return fallback
 
-    small_pallas = guarded(measure_small_batch_forward, "pallas")
-    small_xla = guarded(measure_small_batch_forward, "xla")
+    small_pallas = guarded(measure_small_batch_forward, "pallas",
+                           batch=8 if SMOKE else 16)
+    small_xla = guarded(measure_small_batch_forward, "xla",
+                        batch=8 if SMOKE else 16)
     train_packed = guarded(measure_train_step, "packed", fallback={})
     train_ssn_packed = guarded(measure_train_step, "packed", fallback={},
                                ssn=True)
-    aleatoric_vps = guarded(measure_streaming_aleatoric)
-    ssn_vps = guarded(measure_streaming_ssn)
-    print(json.dumps({
+    aleatoric_vps = guarded(measure_streaming_aleatoric,
+                            batch=4 if SMOKE else 32)
+    ssn_vps = guarded(measure_streaming_ssn, batch=4 if SMOKE else 16)
+    record = {
         "metric": "lidc_ensemble5_entropy_inference_throughput",
         "value": round(volumes_per_sec, 2),
         "unit": "volumes/sec/chip",
@@ -704,7 +727,14 @@ def main() -> None:
         # hundred-ms per-dispatch jitter is excluded by protocol, so
         # run-to-run variation reflects the chip, not relay weather
         "protocol": "best_of_3_chained_scan",
-    }))
+    }
+    if SMOKE:
+        record["smoke"] = True
+        record["protocol"] = "smoke_cpu_integration_check"
+        record["smoke_failures"] = list(SMOKE_FAILURES)
+    print(json.dumps(record))
+    if SMOKE and SMOKE_FAILURES:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

@@ -11,6 +11,18 @@ from __future__ import annotations
 import os
 
 
+def resolve_interpret(interpret: bool | None = None) -> bool:
+    """Resolve a Pallas ``interpret`` kwarg: ``None`` means auto —
+    compiled kernels on a real TPU, interpret mode everywhere else
+    (CPU tests, the bench smoke mode). Library constructors take
+    ``interpret=None`` so every caller works on any backend without
+    plumbing the platform check themselves."""
+    if interpret is None:
+        import jax
+        return jax.devices()[0].platform != "tpu"
+    return bool(interpret)
+
+
 def honor_jax_platforms_env() -> None:
     env_platforms = os.environ.get("JAX_PLATFORMS")
     if not env_platforms:

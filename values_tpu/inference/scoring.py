@@ -25,6 +25,7 @@ from typing import Callable, List, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..core.platform import resolve_interpret
 from ..models.ensemble_unet3d_pallas import grouped_forward_packed
 from ..ops import packed_stats
 from ..ops.pallas.conv3d import LANES, pack_ndhwc
@@ -133,7 +134,7 @@ def _score_from_stats(stats, gt, bp, *, agg_patch, threshold,
 def make_packed_scorer(members: int, patch: int, *,
                        agg_patch: int = 10, threshold: float = 0.3,
                        ignore_index: int = 0, dtype=jnp.bfloat16,
-                       interpret: bool = False
+                       interpret: bool | None = None
                        ) -> Tuple[Callable, List[str]]:
     """Build the jittable packed scorer.
 
@@ -150,6 +151,7 @@ def make_packed_scorer(members: int, patch: int, *,
     if LANES % patch:
         raise ValueError(f"patch={patch} must divide {LANES} for the "
                          "packed layout; use SlidingWindowEngine")
+    interpret = resolve_interpret(interpret)
     bp = LANES // patch
 
     def score(stacked_variables, volumes, gt, rng):
@@ -217,7 +219,7 @@ def make_packed_aleatoric_scorer(members: int, patch: int, *,
                                  ignore_index: int = 0,
                                  dtype=jnp.bfloat16,
                                  sampler: str = "auto",
-                                 interpret: bool = False
+                                 interpret: bool | None = None
                                  ) -> Tuple[Callable, List[str]]:
     """Scores for the aleatoric-logit-sampling deep ensemble
     (reference loop test_3D.py:458-469): one grouped (mu, s) forward,
@@ -241,6 +243,7 @@ def make_packed_aleatoric_scorer(members: int, patch: int, *,
                          "packed layout; use SlidingWindowEngine")
     if sampler not in ("auto", "pallas", "xla"):
         raise ValueError(f"unknown sampler {sampler!r}")
+    interpret = resolve_interpret(interpret)
     bp = LANES // patch
     n = int(n_aleatoric_samples)
     if sampler == "auto":
@@ -321,7 +324,7 @@ def make_packed_tta_scorer(members: int, patch: int, *,
                            do_dropout: bool = False,
                            agg_patch: int = 10, threshold: float = 0.3,
                            ignore_index: int = 0, dtype=jnp.bfloat16,
-                           interpret: bool = False
+                           interpret: bool | None = None
                            ) -> Tuple[Callable, List[str]]:
     """Scores for test-time augmentation (reference loop
     test_3D.py:427-456): the 16 clean/noise x flip variants run as 16
@@ -336,6 +339,7 @@ def make_packed_tta_scorer(members: int, patch: int, *,
     if LANES % patch:
         raise ValueError(f"patch={patch} must divide {LANES} for the "
                          "packed layout; use SlidingWindowEngine")
+    interpret = resolve_interpret(interpret)
     bp = LANES // patch
     from .predictors import FLIP_COMBOS
 
@@ -386,7 +390,7 @@ def make_packed_dropout_scorer(members: int, patch: int, *,
                                threshold: float = 0.3,
                                ignore_index: int = 0,
                                dtype=jnp.bfloat16,
-                               interpret: bool = False
+                               interpret: bool | None = None
                                ) -> Tuple[Callable, List[str]]:
     """Scores for MC-dropout (models left in train mode, reference
     test_3D.py:417-483): n_pred grouped stochastic passes accumulated
@@ -395,6 +399,7 @@ def make_packed_dropout_scorer(members: int, patch: int, *,
     if LANES % patch:
         raise ValueError(f"patch={patch} must divide {LANES} for the "
                          "packed layout; use SlidingWindowEngine")
+    interpret = resolve_interpret(interpret)
     bp = LANES // patch
 
     def score(stacked_variables, volumes, gt, rng):
@@ -443,7 +448,7 @@ def make_packed_ssn_scorer(num_classes: int, members: int, patch: int, *,
                            epsilon: float = 1e-5,
                            agg_patch: int = 10, threshold: float = 0.3,
                            ignore_index: int = 0, dtype=jnp.bfloat16,
-                           interpret: bool = False
+                           interpret: bool | None = None
                            ) -> Tuple[Callable, List[str]]:
     """Scores for the SSN deep ensemble (reference loop
     test_3D.py:361-396): ONE packed grouped trunk forward, then the
@@ -460,6 +465,7 @@ def make_packed_ssn_scorer(num_classes: int, members: int, patch: int, *,
     if LANES % patch:
         raise ValueError(f"patch={patch} must divide {LANES} for the "
                          "packed layout; use SlidingWindowEngine")
+    interpret = resolve_interpret(interpret)
     bp = LANES // patch
     from ..models.ssn_unet3d import LowRankMVN
     from ..ops.pallas.conv3d import unpack_ndhwc

@@ -707,12 +707,14 @@ def make_grouped_ensemble_predictor_pallas(num_classes: int, members: int,
                                            initial_filter_size: int = 8,
                                            dtype=jnp.bfloat16,
                                            do_dropout: bool = False,
-                                           interpret: bool = False):
+                                           interpret: bool | None = None):
     """Same contract as ensemble_unet3d.make_grouped_ensemble_predictor:
     predict(grouped_variables, x_ndhwc, rng) -> ((M, B, D, H, W, C)
     softmax stack, None) — lowered through the Pallas banded-GEMM kernel.
     The batch is padded up to a multiple of bp = 128//W packed items."""
     del num_classes, initial_filter_size  # derived from the variables
+    from ..core.platform import resolve_interpret
+    interpret = resolve_interpret(interpret)
 
     def predict(grouped_variables, x, rng):
         gv = jax.tree_util.tree_map(lambda a: a.astype(dtype),
@@ -746,7 +748,7 @@ def make_grouped_ensemble_predictor_pallas(num_classes: int, members: int,
 def make_grouped_tta_predictor_pallas(num_classes: int, members: int,
                                       initial_filter_size: int = 8,
                                       dtype=jnp.bfloat16,
-                                      interpret: bool = False):
+                                      interpret: bool | None = None):
     """TTA through the batch-packed pipeline: the 16 clean/noise x flip
     variants (per member) become channel groups like
     ensemble_unet3d.make_grouped_tta_predictor (same variant set,
@@ -822,13 +824,15 @@ def make_grouped_aleatoric_predictor_pallas(num_classes: int, members: int,
                                             initial_filter_size: int = 8,
                                             n_aleatoric_samples: int = 10,
                                             dtype=jnp.bfloat16,
-                                            interpret: bool = False):
+                                            interpret: bool | None = None):
     """Aleatoric deep ensemble through the batch-packed pipeline: the
     fused (mu, s) head runs as the packed final conv (2C channels per
     member), then the logit sampling mirrors
     ensemble_unet3d.make_grouped_aleatoric_predictor key-for-key (same
     split tree -> bitwise-equal epsilon draws). Reference loop:
     test_3D.py:458-469."""
+    from ..core.platform import resolve_interpret
+    interpret = resolve_interpret(interpret)
     del initial_filter_size
 
     def predict(grouped_variables, x, rng):
@@ -863,11 +867,13 @@ def make_grouped_ssn_predictor_pallas(num_classes: int, members: int,
                                       n_pred: int = 1, rank: int = 10,
                                       epsilon: float = 1e-5,
                                       dtype=jnp.bfloat16,
-                                      interpret: bool = False):
+                                      interpret: bool | None = None):
     """SSN deep ensemble: packed trunk forward (apply_final=False), then
     the per-member 1x1x1 heads + ONE batched LowRankMVN, mirroring
     ensemble_unet3d.make_grouped_ssn_predictor (same head math, same
     sampling batch order). Reference: test_3D.py:361-396."""
+    from ..core.platform import resolve_interpret
+    interpret = resolve_interpret(interpret)
     from .ssn_unet3d import LowRankMVN
     del initial_filter_size
 
