@@ -414,3 +414,79 @@ def test_data_parallel_packed_backend_matches_single_device(tmp_path):
     k_ref = np.asarray(state_ref.params["final"]["kernel"])
     k_par = np.asarray(pstate2.params["final"]["kernel"])
     np.testing.assert_allclose(k_par, k_ref, atol=1e-4)
+
+
+def _score_fixture(members=2, b=8, do_dropout=False, seed=0):
+    from values_tpu.models.ensemble_unet3d import group_member_variables
+    base = UNet3D(num_classes=2, initial_filter_size=2,
+                  do_dropout=do_dropout)
+    keys = jax.random.split(jax.random.PRNGKey(seed), members)
+    stacked = group_member_variables(
+        [base.init(k, jnp.zeros((1, P, P, P, 1))) for k in keys])
+    rs = np.random.RandomState(seed)
+    vols = jnp.asarray(rs.rand(b, P, P, P, 1).astype(np.float32))
+    gt = jnp.asarray((rs.rand(b, P, P, P) > 0.7).astype(np.int32))
+    return stacked, vols, gt
+
+
+def test_sharded_scorer_deterministic_matches_unsharded():
+    """Data-sharded scores-only pipeline (make_sharded_scorer): the
+    deterministic ensemble scorer over a 4-shard data mesh matches the
+    unsharded scorer to float-association tolerance — per-volume score
+    math is independent of which volumes share a pack group, but the
+    banded kernel's tiling differs between nb=4 and nb=1 packed rows
+    (measured max rel diff 5e-6) — and only (10, B) crosses ICI."""
+    from values_tpu.inference.scoring import make_packed_scorer
+    from values_tpu.parallel.mesh import make_sharded_scorer
+    # local batch 8 = bp (128 // 16): every shard runs full lanes
+    stacked, vols, gt = _score_fixture(b=32)
+    score, _ = make_packed_scorer(2, P, agg_patch=4, dtype=jnp.float32,
+                                  interpret=True)
+    rng = jax.random.PRNGKey(1)
+    want = np.asarray(jax.jit(score)(stacked, vols, gt, rng))
+
+    mesh = make_mesh(n_data=4, n_sample=1, devices=jax.devices()[:4])
+    got = np.asarray(make_sharded_scorer(score, mesh)(
+        stacked, vols, gt, rng))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_sharded_scorer_pads_ragged_batch():
+    """A batch that does not divide the shard count is zero-padded up
+    and the pad scores sliced off; surviving volumes score identically
+    (allclose: pack-group composition differs between the two runs)."""
+    from values_tpu.inference.scoring import make_packed_scorer
+    from values_tpu.parallel.mesh import make_sharded_scorer
+    stacked, vols, gt = _score_fixture(b=6)
+    score, _ = make_packed_scorer(2, P, agg_patch=4, dtype=jnp.float32,
+                                  interpret=True)
+    rng = jax.random.PRNGKey(1)
+    want = np.asarray(jax.jit(score)(stacked, vols, gt, rng))
+    mesh = make_mesh(n_data=4, n_sample=1, devices=jax.devices()[:4])
+    got = np.asarray(make_sharded_scorer(score, mesh)(
+        stacked, vols, gt, rng))
+    assert got.shape == want.shape == (10, 6)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_sharded_scorer_stochastic_per_shard_streams():
+    """Stochastic families run each shard with fold_in(rng, shard_idx):
+    the sharded MC-dropout result equals composing the local scorer on
+    each batch shard with its folded key — the documented contract."""
+    from values_tpu.inference.scoring import make_packed_dropout_scorer
+    from values_tpu.parallel.mesh import make_sharded_scorer
+    stacked, vols, gt = _score_fixture(b=16, do_dropout=True)
+    score, _ = make_packed_dropout_scorer(2, P, n_pred=2, agg_patch=4,
+                                          dtype=jnp.float32,
+                                          interpret=True)
+    rng = jax.random.PRNGKey(7)
+    mesh = make_mesh(n_data=2, n_sample=1, devices=jax.devices()[:2])
+    got = np.asarray(make_sharded_scorer(score, mesh)(
+        stacked, vols, gt, rng))
+    jscore = jax.jit(score)
+    want = np.concatenate([
+        np.asarray(jscore(stacked, vols[i * 8:(i + 1) * 8],
+                          gt[i * 8:(i + 1) * 8],
+                          jax.random.fold_in(rng, i)))
+        for i in range(2)], axis=1)
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6)

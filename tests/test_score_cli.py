@@ -98,3 +98,30 @@ def test_score_cli_rejects_multiwindow(toy_ckpt, tmp_path):
         os.remove(str(pre / "imagesTr" / "zz_big.npy"))
         for rater in range(3):
             os.remove(str(pre / "labelsTr" / f"zz_big_{rater:02d}.npy"))
+
+
+def test_score_cli_data_sharded_matches_single_device(toy_ckpt, tmp_path):
+    """--devices N runs the scorer data-sharded over an N-chip mesh
+    (parallel.mesh.make_sharded_scorer); the deterministic ensemble's
+    scores must match the single-device run to kernel-tiling float
+    tolerance."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    root, ckpt = toy_ckpt
+    single = str(tmp_path / "single.json")
+    run_score(score_cli([
+        "--checkpoint_paths", ckpt, ckpt, "-i", str(root),
+        "--out", single, "--test_split", "val", "--dtype", "float32"]))
+    sharded = str(tmp_path / "sharded.json")
+    run_score(score_cli([
+        "--checkpoint_paths", ckpt, ckpt, "-i", str(root),
+        "--out", sharded, "--test_split", "val", "--dtype", "float32",
+        "--devices", "2"]))
+    a = json.loads(open(single).read())
+    b = json.loads(open(sharded).read())
+    assert a.keys() == b.keys()
+    for subject in a:
+        for row, v in a[subject].items():
+            assert b[subject][row] == pytest.approx(v, rel=1e-4,
+                                                    abs=1e-5), (
+                subject, row)

@@ -32,6 +32,7 @@ import numpy as np
 from ..config import instantiate, make_config
 from ..core.seed import set_seed
 from ..data.samples import get_val_test_data_samples
+from ..parallel.mesh import resolve_device_count
 from ..models.ssn_unet3d import SsnUNet3D
 from ..training.checkpoint import load_any_checkpoint
 from .test_3d import (dir_and_subjects_from_train,
@@ -67,6 +68,11 @@ def score_cli(argv=None) -> argparse.Namespace:
                         help="threshold_analysis.json row to use")
     parser.add_argument("--dtype", type=str, default="bfloat16",
                         choices=["bfloat16", "float32"])
+    parser.add_argument("--devices", type=str, default=None,
+                        help="data-parallel scoring over N chips "
+                        "(or 'all'): the batch shards over the mesh "
+                        "data axis, params replicate, only the score "
+                        "matrix crosses ICI")
     return parser.parse_args(argv)
 
 
@@ -167,7 +173,15 @@ def run_score(args) -> Dict[str, Dict[str, float]]:
     interpret = jax.devices()[0].platform != "tpu"
     score, rows = _build_scorer(hparams, model, len(all_variables), args,
                                 interpret)
-    score = jax.jit(score)
+    n_devices = (resolve_device_count(args.devices)
+                 if getattr(args, "devices", None) else 1)
+    if n_devices > 1:
+        from ..parallel.mesh import make_mesh, make_sharded_scorer
+        mesh = make_mesh(n_data=n_devices, n_sample=1,
+                         devices=jax.devices()[:n_devices])
+        score = make_sharded_scorer(score, mesh)
+    else:
+        score = jax.jit(score)
     rng = jax.random.PRNGKey(hparams.get("seed", 123))
 
     paths = sorted(by_image)

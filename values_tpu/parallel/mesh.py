@@ -179,6 +179,50 @@ def make_parallel_pass_predict(model, mode: str, n_models: int, mesh: Mesh,
     return lambda v, x, rng: (fn(v, x, rng), None)
 
 
+def make_sharded_scorer(score_fn, mesh: Mesh):
+    """Data-parallel scores-only pipeline: shard the volume batch over
+    the mesh ``data`` axis with shard_map, replicate the stacked member
+    params, and run the packed scorer per shard — only the (10, B)
+    score matrix crosses ICI at the output gather, matching the
+    scorer's only-scalars-leave-the-chip contract
+    (values_tpu.inference.scoring). Pallas kernels are single-device
+    programs GSPMD cannot partition, so the batch split is explicit.
+
+    Per-shard RNG folds in the ``data`` axis index, so the stochastic
+    families (MC-dropout, TTA, aleatoric, SSN) draw decorrelated
+    per-shard streams (statistically identical to unsharded, not
+    bitwise); the deterministic softmax-ensemble scorer matches the
+    unsharded run to kernel-tiling float association, ~1e-5
+    (tests/test_parallel.py). The wrapped
+    scorer accepts any batch size — it zero-pads up to a shard
+    multiple and slices the pad back off, like the scorers themselves
+    do for the pack multiple.
+    """
+    n_data = mesh.shape[DATA_AXIS]
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P()),
+             out_specs=P(None, DATA_AXIS), check_vma=False)
+    def sharded(stacked_variables, volumes, gt, rng):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+        return score_fn(stacked_variables, volumes, gt, rng)
+
+    jitted = jax.jit(sharded)
+
+    def score(stacked_variables, volumes, gt, rng):
+        b = volumes.shape[0]
+        pad = (-b) % n_data
+        if pad:
+            volumes = jnp.concatenate(
+                [volumes, jnp.zeros((pad,) + volumes.shape[1:],
+                                    volumes.dtype)])
+            gt = jnp.concatenate(
+                [gt, jnp.zeros((pad,) + gt.shape[1:], gt.dtype)])
+        return jitted(stacked_variables, volumes, gt, rng)[:, :b]
+
+    return score
+
+
 # -- multi-host (DCN) meshes -------------------------------------------------
 
 def initialize_distributed() -> int:
