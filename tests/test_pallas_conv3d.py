@@ -68,8 +68,9 @@ def test_explicit_tiling_override():
 
 
 def test_forms_agree_with_lax_conv():
-    """Both kernel forms (x3 prebuild / outroll) reproduce lax.conv —
-    the production default is outroll, x3 stays selectable."""
+    """All kernel forms (x3 prebuild / outroll / hband) reproduce
+    lax.conv — the production default is outroll, the others stay
+    selectable for chip A/Bs."""
     from values_tpu.ops.pallas.conv3d import (conv3d_banded_packed,
                                               pack_ndhwc, unpack_ndhwc)
     B, D, H, W, G, cin, cout = 2, 8, 8, 8, 2, 8, 8
@@ -82,11 +83,22 @@ def test_forms_agree_with_lax_conv():
     pad_b = (-B) % bp
     xp = pack_ndhwc(jnp.concatenate(
         [x, jnp.zeros((pad_b,) + x.shape[1:], x.dtype)]), bp)
-    for form in ("outroll", "x3"):
+    for form in ("outroll", "x3", "hband"):
         got = unpack_ndhwc(conv3d_banded_packed(
             xp, k, bias, G, w_item=W, form=form, interpret=True), bp)[:B]
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-4, err_msg=form)
+    # hband with a lane batch (nq > 1: the A concat path) and stats
+    got, (s1, s2) = conv3d_banded_packed(
+        xp, k, bias, G, w_item=W, form=form, tiling=(1, 2, 4, 2),
+        emit_stats=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(unpack_ndhwc(got, bp)[:B]),
+                               np.asarray(ref), atol=1e-4)
+    # activation="none" => the stats sum equals the packed output's sum
+    # (including the zero-padded pack items, whose conv output is bias)
+    np.testing.assert_allclose(
+        np.asarray(s1).sum(),
+        np.asarray(got).astype(np.float64).sum(), rtol=1e-4)
 
 
 def test_banded_weights_structure():
@@ -118,7 +130,8 @@ def test_banded_weights_structure():
 
 def test_choose_tiling_bounds():
     budget = 13 * 2 ** 20
-    for form, n_bufs, k_div in (("x3", 4, 1), ("outroll", 2, 3)):
+    for form, n_bufs, k_div in (("x3", 4, 1), ("outroll", 2, 3),
+                                ("hband", 2, 9)):
         for itemsize in (2, 4):
             for cin in (8, 16, 32):
                 for cout, d, h in [(8, 64, 64), (16, 32, 32), (32, 16, 16),
@@ -149,12 +162,16 @@ def test_choose_tiling_bounds():
                     k = 3 * (qd + 2) * (qh + 2) * cin
                     n = qd * qh * cout
                     n_dots = 1 if form == "x3" else 3
+                    # plus the d-boundary fix-up temp, the A pieces
+                    # (live alongside the concat result: 2x A) and the
+                    # current dot's raw output block (n_dots + 1)
                     scoped = (n_bufs * (sd + 2) * (h + 2) * spad(cin) * 128
                               * itemsize
                               + 2 * sd * h * spad(cout) * 128 * itemsize
                               + 2 * spad(n) * lpad(k) * itemsize
-                              + spad(k // k_div) * nq * 128 * itemsize
-                              + n_dots * spad(n) * nq * 128 * 4)
+                              + (sd + 1) * h * spad(cin) * 128 * itemsize
+                              + 2 * spad(k // k_div) * nq * 128 * itemsize
+                              + (n_dots + 1) * spad(n) * nq * 128 * 4)
                     assert scoped <= budget, (form, itemsize, cin, cout,
                                               d, scoped)
 

@@ -179,7 +179,10 @@ def _vmem_accounting(cout: int, h: int, cin: int, itemsize: int, form: str):
     product blocks choose_tiling budgets after a real-chip 16.28M/16M
     OOM)."""
     n_bufs = 4 if form == "x3" else 2
-    k_div = 1 if form == "x3" else 3
+    # per-dot A size = K / k_div: x3 contracts the full K at once,
+    # outroll splits K by kw (3 dots), hband by (kw, rd) (9 dots whose
+    # A operands are contiguous VMEM row-runs)
+    k_div = {"x3": 1, "outroll": 3, "hband": 9}[form]
     n_dots = 1 if form == "x3" else 3
     # VMEM tiles pad the second-minor dim to the sublane multiple (16
     # for bf16's T(8,128)(2,1) packing, 8 for f32) and the minor dim to
@@ -200,15 +203,24 @@ def _vmem_accounting(cout: int, h: int, cin: int, itemsize: int, form: str):
         x_tiles = n_bufs * (sd + 2) * (h + 2) * spad(cin) * LANES * itemsize
         out_blocks = 2 * sd * h * spad(cout) * LANES * itemsize
         weights = 2 * spad(n) * lpad(k) * itemsize
-        return x_tiles + out_blocks + weights
+        # d-boundary fix-up: the clamped-DMA realignment at idd 0/nd-1
+        # reads a shifted (sd+1, h, cin, LANES) copy of the tile — a
+        # live stack temporary (budgeted always: the stack allocator
+        # sizes the worst path, and the r4 battery's 16.43M/16M OOM
+        # showed un-budgeted full-tile temporaries are real)
+        fixup = (sd + 1) * h * spad(cin) * LANES * itemsize
+        return x_tiles + out_blocks + weights + fixup
 
     def dot_bytes(qd, qh, nq):
-        # per-dot live temporaries: the A matrix (K x nq*LANES) plus the
-        # f32 product blocks before accumulation — x3 keeps one
-        # (N x nq*LANES) dot output, outroll keeps THREE (one per kw band)
+        # per-dot live temporaries: the A matrix counted TWICE (the
+        # strided piece reads materialize before the lane concat and
+        # both are live at the handoff), the f32 accumulator blocks —
+        # x3 keeps one (N x nq*LANES) dot output, outroll/hband THREE
+        # (one per kw band) — plus one more n-block for the current
+        # dot's raw output before it folds into its accumulator
         k, n = kn(qd, qh)
-        return (spad(k // k_div) * nq * LANES * itemsize
-                + n_dots * spad(n) * nq * LANES * 4)
+        return (2 * spad(k // k_div) * nq * LANES * itemsize
+                + (n_dots + 1) * spad(n) * nq * LANES * 4)
 
     return fixed_bytes, dot_bytes
 
@@ -266,7 +278,13 @@ def choose_tiling(cout: int, d: int, h: int, cin: int = 8,
             if h % qh or qd * qh > target:
                 continue
             candidates.append((qd, qh))
-    if form == "outroll":
+    if form == "hband":
+        # h-band-only form: qd is structurally 1 (kd runs as 3
+        # accumulating dots over contiguous d-rows); widest qh first
+        # (N = qh*cout)
+        candidates = [(qd, qh) for qd, qh in candidates if qd == 1]
+        candidates.sort(key=lambda q: -q[1])
+    elif form == "outroll":
         # qd=2 first (measured; see docstring), then biggest N, least
         # waste
         candidates.sort(key=lambda q: (q[0] != 2, -q[0] * q[1],
@@ -427,14 +445,24 @@ def _conv_kernel(*refs, cin_parts, cout, qd: int, qh: int, sd: int,
 
     if has_prologue:
         # previous layer's normalize+activation, applied to every real
-        # row (halo rows are neighbours of the same items)
-        scale = scale_ref[0][None, None]       # (1, 1, cin, LANES) f32
-        shift = shift_ref[0][None, None]
-        slope = slope_ref[0][None, None]
-        v = raw_vmem[slot, :, pl.ds(1, h)].astype(jnp.float32)
-        v = v * scale - shift
-        v = jnp.maximum(v, v * slope)
-        raw_vmem[slot, :, pl.ds(1, h)] = v.astype(raw_vmem.dtype)
+        # row (halo rows are neighbours of the same items). Chunked over
+        # d-rows: upcasting the WHOLE (sd+2, h, cin, LANES) tile to f32
+        # in one expression materializes a ~5 MB stack temporary that
+        # blew the 16M scoped-VMEM limit on-chip (16.43M at the L2
+        # cin=16 h=32 sd=16 geometry, r4 battery); per-row slabs bound
+        # the temp at h*cin*LANES*4 regardless of tiling.
+        scale = scale_ref[0][None]             # (1, cin, LANES) f32
+        shift = shift_ref[0][None]
+        slope = slope_ref[0][None]
+
+        def _prologue_row(r, carry):
+            v = raw_vmem[slot, r, pl.ds(1, h)].astype(jnp.float32)
+            v = v * scale - shift
+            v = jnp.maximum(v, v * slope)
+            raw_vmem[slot, r, pl.ds(1, h)] = v.astype(raw_vmem.dtype)
+            return carry
+
+        jax.lax.fori_loop(0, sd + 2, _prologue_row, 0, unroll=False)
 
     # out-of-range d-halo rows (clamped DMAs fetched a duplicate row)
     @pl.when(idd == 0)
@@ -493,6 +521,59 @@ def _conv_kernel(*refs, cin_parts, cout, qd: int, qh: int, sd: int,
             return buf[kw_idx, pl.ds(d0, qd + 2),
                        pl.ds(h0 + q * qh, qh + 2), :, :].reshape(ksub,
                                                                  LANES)
+
+        if form == "hband":
+            # zero-copy h-band-only form (qd = 1, ROADMAP r4): band ONLY
+            # in h, so every dot's A operand is ONE contiguous VMEM
+            # row-run raw_vmem[slot, d0+rd, h0:h0+qh+2, :, :] — the
+            # strided (qd+2, qh+2) gather that is outroll's compute
+            # overhang disappears. Cost: kd becomes 3 accumulating dots
+            # (per-rd weight column slices) and the nominal ceiling
+            # drops to 3/(qh+2) of peak; kw rides the proven outroll
+            # output rolls. Selected via VALUES_TPU_BANDED_FORM=hband
+            # for the chip A/B that decides whether zero-copy beats the
+            # lower ceiling.
+            ksub_h = (qh + 2) * cin
+            pr = [None, None, None]
+            for rd in range(3):
+                runs = [raw_vmem[slot, pl.ds(d0 + rd, 1),
+                                 pl.ds(h0 + q * qh, qh + 2),
+                                 :, :].reshape(ksub_h, LANES)
+                        for q in range(nq)]
+                a_mat = runs[0] if nq == 1 else jnp.concatenate(runs,
+                                                               axis=1)
+                for kw in range(3):
+                    dsl = jax.lax.dot_general(
+                        bw[:, (kw * 3 + rd) * ksub_h:
+                           (kw * 3 + rd + 1) * ksub_h],
+                        a_mat, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    pr[kw] = dsl if rd == 0 else pr[kw] + dsl
+            n_rows = qh * cout
+            lw = jax.lax.broadcasted_iota(
+                jnp.int32, (n_rows, LANES), 1) % w_item
+            zblk = jnp.zeros((n_rows, LANES), jnp.float32)
+            for q in range(nq):
+                p0 = pr[0][:, q * LANES:(q + 1) * LANES]
+                p1 = pr[1][:, q * LANES:(q + 1) * LANES]
+                p2 = pr[2][:, q * LANES:(q + 1) * LANES]
+                out = (p1
+                       + jnp.where(lw != 0, pltpu.roll(p0, 1, axis=1),
+                                   zblk)
+                       + jnp.where(lw != w_item - 1,
+                                   pltpu.roll(p2, LANES - 1, axis=1),
+                                   zblk) + bb)
+                if emit_stats:
+                    blk_f = out.reshape(qh, cout, LANES)
+                    acc_s = acc_s + jnp.sum(blk_f, axis=0)
+                    acc_q = acc_q + jnp.sum(blk_f * blk_f, axis=0)
+                if activation == "leaky":
+                    out = jnp.where(out > 0, out, 0.01 * out)
+                elif activation == "relu":
+                    out = jnp.maximum(out, 0.0)
+                ob = out.astype(out_dtype).reshape(qh, cout, LANES)
+                out_ref[0, d0, pl.ds(h0 + q * qh, qh), :, :] = ob
+            return acc_s, acc_q
 
         if form == "outroll":
             # single-variant A (K = ksub, 3x smaller build) + 3
@@ -622,6 +703,7 @@ def conv3d_banded_packed(x: jnp.ndarray, kernel: jnp.ndarray,
 
     Returns out, or (out, (sum, sumsq)) with emit_stats.
     """
+    form_from_env = form is None
     if form is None:
         # A/B hook for the kernel-form benchmarks (scripts/bench_convs.py)
         form = os.environ.get("VALUES_TPU_BANDED_FORM", "outroll")
@@ -683,6 +765,16 @@ def conv3d_banded_packed(x: jnp.ndarray, kernel: jnp.ndarray,
                 f"cout={cout} d={d} h={h} itemsize="
                 f"{x.dtype.itemsize}; use the XLA conv path")
         qd, qh, sd, nq = chosen
+    if form == "hband" and qd != 1:
+        if form_from_env:
+            # an explicit qd>1 tiling outranks the env A/B default —
+            # run it under the production form instead of failing
+            form = "outroll"
+        else:
+            raise ValueError(
+                f"form='hband' bands only in h and requires qd=1 (got "
+                f"qd={qd}); pass a (1, qh, sd[, nq]) tiling or let "
+                "choose_tiling pick one")
     assert d % qd == 0 and h % qh == 0 and d % sd == 0 and sd % qd == 0
     assert (h // qh) % nq == 0, (
         f"nq={nq} must divide the h-block count {h // qh} "

@@ -138,8 +138,8 @@ def _sample_stats_kernel(seed_ref, mu_ref, sig_ref, sump_ref, sument_ref,
     if hw_prng:
         pltpu.prng_seed(seed_ref[0], pl.program_id(0), pl.program_id(1),
                         im)
-    mu = mu_ref[0]     # (sd, H, C, lanes) f32
-    sig = sig_ref[0]
+    mu = mu_ref[0, :, :, 0]     # (sd, H, C, lanes) f32
+    sig = sig_ref[0, :, :, 0]
     # program ids must be evaluated OUTSIDE the fori_loop body (inside,
     # they survive as primitives in the loop jaxpr and have no lowering)
     salt = ((pl.program_id(0) * pl.num_programs(1)
@@ -199,8 +199,12 @@ def sampled_softmax_stats(mu: jnp.ndarray, sigma: jnp.ndarray,
     """
     nb, d, h, m, c, lanes = mu.shape
     assert lanes == LANES, mu.shape
-    mu2 = mu.astype(jnp.float32).reshape(nb, d, h, m * c, lanes)
-    sig2 = sigma.astype(jnp.float32).reshape(nb, d, h, m * c, lanes)
+    # the member axis stays a SEPARATE block dim (blocked at 1): folding
+    # it into the class axis would make the second-to-minor block dim c
+    # out of m*c, which Mosaic only allows when c is a multiple of 8 or
+    # the whole axis — real heads have c ~ 2..5 (caught on-chip, r4)
+    mu2 = mu.astype(jnp.float32)
+    sig2 = sigma.astype(jnp.float32)
     if bits_source is None:
         bits_source = "counter" if interpret else "hw"
     hw_prng = bits_source == "hw"
@@ -221,11 +225,11 @@ def sampled_softmax_stats(mu: jnp.ndarray, sigma: jnp.ndarray,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, sd, h, c, LANES),
-                         lambda ib, idd, im: (ib, idd, 0, im, 0),
+            pl.BlockSpec((1, sd, h, 1, c, LANES),
+                         lambda ib, idd, im: (ib, idd, 0, im, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sd, h, c, LANES),
-                         lambda ib, idd, im: (ib, idd, 0, im, 0),
+            pl.BlockSpec((1, sd, h, 1, c, LANES),
+                         lambda ib, idd, im: (ib, idd, 0, im, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
