@@ -231,3 +231,35 @@ def test_tester_2d_tta_mode(gta_tree, tmp_path):
     assert (base / "pred_seg" / f"{image_id}_mean.png").exists()
     assert (base / "pred_seg" / f"{image_id}_04.png").exists()
     assert (base / "epistemic_uncertainty" / f"{image_id}.tif").exists()
+
+
+def test_tester_2d_sliding_window(gta_tree, tmp_path):
+    """--sliding_window through the 2D tester CLI: 32x48 images, 16x24
+    windows (3x3 regular grid after quilt padding) — drives the
+    parity-quilt stitch end-to-end and checks the metrics/artifact
+    contract matches the whole-image path's."""
+    from values_tpu.inference import test_2d
+    from values_tpu.models.hrnet import HighResolutionNet
+    from values_tpu.training.checkpoint import save_checkpoint
+    from tests.test_hrnet import small_cfg
+
+    hparams = _hrnet_hparams(gta_tree, tmp_path)
+    model = HighResolutionNet(cfg=small_cfg(num_classes=NUM_CLASSES))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, H, W, 3)))
+    ckpt = tmp_path / "hrnet_sw.ckpt"
+    save_checkpoint(str(ckpt), variables, hparams)
+
+    args = test_2d.test_cli([
+        "--checkpoint_paths", str(ckpt), "--test_split", "id",
+        "--n_pred", "2", "--n_reference_samples", "2",
+        "--sliding_window", "16", "24",
+    ])
+    test_2d.run_test(args)
+    base = (tmp_path / "results" / "Softmax-GTA" / "test_results" / "0"
+            / "id")
+    metrics = json.loads((base / "metrics.json").read_text())
+    image_id = [k for k in metrics if k != "mean"][0]
+    assert 0 <= metrics["mean"]["metrics"]["dice"] <= 1
+    assert (base / "pred_seg" / f"{image_id}_mean.png").exists()
+    assert (base / "pred_entropy" / f"{image_id}.tif").exists()

@@ -64,6 +64,37 @@ def test_sliding_predictor_hrnet_smoke():
         np.testing.assert_allclose(out.sum(-1), 1.0, atol=1e-5)
 
 
+class _PixelLocalModel:
+    """Minimal model shim (apply(variables, x) -> logits), pixel-local
+    so any count-averaged window placement reproduces the whole-image
+    softmax exactly."""
+    dropout_final = False
+    num_classes = 24
+
+    def apply(self, variables, x, **kwargs):
+        return jnp.stack([x[..., i % 3] * (0.3 + 0.1 * i)
+                          for i in range(24)], axis=-1)
+
+
+def test_quilt_predictor_matches_whole_image():
+    """SlidingPredictor2D's parity-quilt stitch (static-offset assembly;
+    replaces the per-window dynamic_update_slice scatter that hit
+    Mosaic's unaligned slow path at 9.3 s/img) is exact for a
+    pixel-local forward at the production 1024x1912 geometry, including
+    the regular-grid padding on the non-divisible 1912 axis and at an
+    irregular (not window_batch-divisible) window count."""
+    rng = np.random.RandomState(0)
+    model = _PixelLocalModel()
+    for shape in ((1024, 1912), (300, 200)):
+        img = rng.rand(*shape, 3).astype(np.float32)
+        sp = SlidingPredictor2D(model, (256, 478), 24, overlap=0.5)
+        out = sp({}, img, jax.random.PRNGKey(0))
+        whole = np.asarray(jax.nn.softmax(
+            model.apply({}, jnp.asarray(img[None])), axis=-1))[0]
+        assert out.shape == shape + (24,)
+        np.testing.assert_allclose(out, whole, atol=1e-5)
+
+
 def test_production_geometry_full_res():
     """The GTA/Cityscapes production geometry (VERDICT r2 item 8):
     1024x1912 full-resolution image, 256x478 inference windows
