@@ -247,8 +247,12 @@ def make_packed_aleatoric_scorer(members: int, patch: int, *,
     bp = LANES // patch
     n = int(n_aleatoric_samples)
     if sampler == "auto":
-        sampler = ("pallas" if not interpret
-                   and jax.devices()[0].platform == "tpu" else "xla")
+        # Measured on v5e (r4, scripts/bench_sampling.py): the XLA
+        # fori_loop sampler beats the Pallas streaming kernel at both
+        # batch 8 (50.7 vs 39.1 vol/s) and batch 32 (143.5 vs 86.7) —
+        # the VPU-resident inverse-CDF draw doesn't pay for itself at
+        # these head widths, so auto picks XLA everywhere.
+        sampler = "xla"
 
     def score(stacked_variables, volumes, gt, rng):
         volumes, gt, b = _pad_batch(volumes, gt, bp)
@@ -483,8 +487,12 @@ def make_packed_ssn_scorer(num_classes: int, members: int, patch: int, *,
         spatial = volumes.shape[1:4]
 
         def head(fm, name, m, cout):  # unpacked (B, sp, F) -> (B, sp, c)
-            k = p[name]["kernel"].reshape(f, members, cout)[:, m]
-            bias = p[name]["bias"].reshape(members, cout)[m]
+            k = jax.lax.dynamic_index_in_dim(
+                p[name]["kernel"].reshape(f, members, cout), m, 1,
+                keepdims=False)
+            bias = jax.lax.dynamic_index_in_dim(
+                p[name]["bias"].reshape(members, cout), m, 0,
+                keepdims=False)
             return (jnp.einsum("b...i,io->b...o", fm,
                                k.astype(jnp.float32))
                     + bias.astype(jnp.float32))
@@ -495,8 +503,16 @@ def make_packed_ssn_scorer(num_classes: int, members: int, patch: int, *,
         carry = (jnp.zeros(volumes.shape[:4] + (num_classes,),
                            jnp.float32),
                  jnp.zeros(volumes.shape[:4], jnp.float32))
-        for m in range(members):
-            fm = unpack_ndhwc(feats_p[:, :, :, m], bp).astype(jnp.float32)
+
+        # fori_loop (not an unrolled Python loop) over members: one
+        # member's (B, C*V, R) cov_factor + rsample temporaries live at
+        # a time — the unrolled form kept several members' tensors live
+        # and OOMed HBM at batch 32 on v5e (20.2 G used of 15.75 G, r4).
+        def member_body(m, carry):
+            fm = unpack_ndhwc(
+                jax.lax.dynamic_index_in_dim(feats_p, m, 3,
+                                             keepdims=False),
+                bp).astype(jnp.float32)
             mean = flatten_cf(head(fm, "mean_conv", m, num_classes))
             cov_diag = jnp.exp(flatten_cf(
                 head(fm, "log_cov_diag_conv", m, num_classes))) + epsilon
@@ -511,7 +527,8 @@ def make_packed_ssn_scorer(num_classes: int, members: int, patch: int, *,
             factor = jnp.where(degenerate[:, None, None],
                                jnp.zeros_like(cov_factor), cov_factor)
             sqrt_diag = jnp.sqrt(cov_diag)
-            for s in range(n_pred):
+
+            def sample_body(s, carry):
                 k1, k2 = jax.random.split(
                     jax.random.fold_in(rng, m * n_pred + s))
                 eps_r = jax.random.normal(k1, (1,) + factor.shape[:1]
@@ -523,7 +540,11 @@ def make_packed_ssn_scorer(num_classes: int, members: int, patch: int, *,
                 logits = smp.reshape((-1, num_classes) + spatial)
                 logits = jnp.moveaxis(logits, 1, -1)   # (B, sp, C)
                 probs = jax.nn.softmax(logits, axis=-1)
-                carry = streaming_update(carry, probs, class_axis=-1)
+                return streaming_update(carry, probs, class_axis=-1)
+
+            return jax.lax.fori_loop(0, n_pred, sample_body, carry)
+
+        carry = jax.lax.fori_loop(0, members, member_body, carry)
         stats = streaming_finalize(carry, members * n_pred,
                                    class_axis=-1)
 

@@ -135,15 +135,16 @@ def _entropy_terms(logits: jnp.ndarray, class_axis: int):
 def _sample_stats_kernel(seed_ref, mu_ref, sig_ref, sump_ref, sument_ref,
                          *, n_samples: int, hw_prng: bool):
     im = pl.program_id(2)  # member index — innermost, output revisited
-    if hw_prng:
-        pltpu.prng_seed(seed_ref[0], pl.program_id(0), pl.program_id(1),
-                        im)
-    mu = mu_ref[0, :, :, 0]     # (sd, H, C, lanes) f32
-    sig = sig_ref[0, :, :, 0]
     # program ids must be evaluated OUTSIDE the fori_loop body (inside,
     # they survive as primitives in the loop jaxpr and have no lowering)
     salt = ((pl.program_id(0) * pl.num_programs(1)
              + pl.program_id(1)) * pl.num_programs(2) + im)
+    if hw_prng:
+        # Mosaic's prng_set_seed takes at most 2 values: fold the full
+        # (batch, d-block, member) grid position into one salt word.
+        pltpu.prng_seed(seed_ref[0], salt)
+    mu = mu_ref[0, :, :, 0]     # (sd, H, C, lanes) f32
+    sig = sig_ref[0, :, :, 0]
     seed0 = seed_ref[0]
 
     def draw(i):
@@ -210,7 +211,13 @@ def sampled_softmax_stats(mu: jnp.ndarray, sigma: jnp.ndarray,
     hw_prng = bits_source == "hw"
 
     if sd is None:
-        budget = 8 * 2 ** 20
+        # Budget calibrated on-chip (r4): Mosaic's scoped-VMEM stack for
+        # this kernel runs ~5x the naive six-live-tile estimate (the
+        # fori_loop body's temporaries are not folded), so 2 MB on the
+        # estimate keeps the real allocation under the 16 MB limit
+        # (sd=16 -> 30.8M OOM, sd=8 -> 27.5M OOM, sd=4 -> fits, at
+        # d=h=64, c=2).
+        budget = 2 * 2 ** 20
         tile = lambda s: 6 * s * h * c * LANES * 4
         sd = d
         while sd > 1 and (d % sd or tile(sd) > budget):
