@@ -81,13 +81,19 @@ def main():
     bparams = jax.tree_util.tree_map(
         lambda t: t.astype(jnp.bfloat16), params)
 
-    # 1. full train step (fwd + bwd + clip + adam)
+    # 1. full train step (fwd + bwd + clip + adam). The output must
+    #    consume the NEW params, not just the loss — returning only the
+    #    loss lets XLA dead-code-eliminate the whole backward + Adam
+    #    (measured 5.2 ms = forward-only; the r4 battery artifact).
     st = [state]
 
     def full_step(r):
         new_state, loss = exp.train_step_fn(
             st[0], {"data": data, "seg": seg}, r, False)
-        return loss.astype(jnp.float32)
+        psum = jax.tree_util.tree_reduce(
+            lambda a, b: a + jnp.sum(b).astype(jnp.float32),
+            new_state.params, jnp.float32(0.0))
+        return loss.astype(jnp.float32) + psum * 1e-9
     timed("full train step", full_step)
 
     # 2. loss fwd+bwd only (no optimizer)
@@ -102,6 +108,24 @@ def main():
             lambda a, b: a + jnp.sum(b).astype(jnp.float32), g,
             jnp.float32(0.0))).astype(jnp.float32)
     timed("loss fwd+bwd (no optimizer)", fwd_bwd)
+
+    # 2b/2c. backward attribution A/B: drop the dkernel branch (XLA
+    #        bwd-weights conv + the x/dy unpack transposes), then the
+    #        dx branch (packed bwd-data conv). Env is read at TRACE
+    #        time inside _banded_bwd_core; fresh closures => fresh jits.
+    import os as _os
+    for flag, label in (("VALUES_TPU_SKIP_DK", "fwd+bwd without dkernel"),
+                        ("VALUES_TPU_SKIP_DX", "fwd+bwd without dx")):
+        _os.environ[flag] = "1"
+        try:
+            def fwd_bwd_ab(r):
+                l, g = jax.value_and_grad(loss_fn)(params, r)
+                return (l + jax.tree_util.tree_reduce(
+                    lambda a, b: a + jnp.sum(b).astype(jnp.float32), g,
+                    jnp.float32(0.0))).astype(jnp.float32)
+            timed(label, fwd_bwd_ab)
+        finally:
+            del _os.environ[flag]
 
     # 3. forward only (packed, bf16) + loss
     def fwd_only(r):

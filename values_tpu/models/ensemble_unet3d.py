@@ -230,6 +230,32 @@ def group_member_variables(member_variables: List[Dict],
     return {"params": params}
 
 
+def ungroup_member_variables(grouped: Dict, members: int,
+                             dtype=np.float32) -> List[Dict]:
+    """Inverse of :func:`group_member_variables`: split the grouped tree
+    back into M standard flax UNet3D variable trees (for per-member
+    checkpoint export after joint ensemble training — the reference's
+    test_3D.py consumes one checkpoint per member)."""
+    params = grouped["params"] if "params" in grouped else grouped
+    trees: List[Dict] = [dict() for _ in range(members)]
+    for name, leaves in params.items():
+        kernel = np.asarray(leaves["kernel"])
+        bias = np.asarray(leaves["bias"])
+        if name in ("center_up", "upscale4", "upscale3", "upscale2"):
+            parts = [(kernel[m], bias[m]) for m in range(members)]
+        else:
+            ks = np.split(kernel, members, axis=-1)
+            bs = np.split(bias, members, axis=-1)
+            parts = list(zip(ks, bs))
+        for m, (k, b) in enumerate(parts):
+            leaf = {"kernel": k.astype(dtype), "bias": b.astype(dtype)}
+            if name.startswith(("contr_", "expand_")):
+                trees[m][name] = {"conv": leaf}
+            else:
+                trees[m][name] = leaf
+    return [{"params": t} for t in trees]
+
+
 def make_grouped_ensemble_predictor(num_classes: int, members: int,
                                     initial_filter_size: int = 8,
                                     dtype=jnp.float32,

@@ -929,30 +929,116 @@ def _banded_packed_ad_bwd(groups, w_item, tiling, interpret, activation,
 
 def _banded_bwd_core(groups, w_item, interpret, x, kernel, dy):
     """Shared (dx, dkernel, dbias) of the packed banded conv given the
-    pre-activation cotangent dy."""
+    pre-activation cotangent dy.
+
+    VALUES_TPU_SKIP_DK=1 / VALUES_TPU_SKIP_DX=1 are MEASUREMENT-ONLY
+    levers (scripts/bench_train_micro.py attribution A/B): they replace
+    the corresponding gradient with zeros so its cost vanishes from the
+    step. Training under them is silently wrong — never set outside a
+    bench.
+    """
     bias_dtype = kernel.dtype  # bias rides the same cast as the kernel
     cin = kernel.shape[3]
     cout = kernel.shape[4] // groups
-    km = kernel[::-1, ::-1, ::-1].reshape(3, 3, 3, cin, groups, cout)
-    kb = jnp.transpose(km, (0, 1, 2, 5, 4, 3)).reshape(
-        3, 3, 3, cout, groups * cin)
-    dx = _conv_packed_any(dy, kb, None, groups, w_item, interpret)
+    if os.environ.get("VALUES_TPU_SKIP_DX") == "1":
+        dx = jnp.zeros(x.shape, x.dtype)
+    else:
+        km = kernel[::-1, ::-1, ::-1].reshape(3, 3, 3, cin, groups, cout)
+        kb = jnp.transpose(km, (0, 1, 2, 5, 4, 3)).reshape(
+            3, 3, 3, cout, groups * cin)
+        dx = _conv_packed_any(dy, kb, None, groups, w_item, interpret)
 
-    bp = LANES // w_item
-    xu = unpack_ndhwc(x, bp)
-    dyu = unpack_ndhwc(dy, bp)
+    if os.environ.get("VALUES_TPU_SKIP_DK") == "1":
+        dk = jnp.zeros_like(kernel)
+    elif os.environ.get("VALUES_TPU_DK_IMPL") == "packed":
+        # experimental: contraction in the packed layout (see
+        # _dkernel_packed). Measured SLOWER than the unpack path on v5e
+        # r4 (step 64 vs 31 ms): every tap pays a materialization of the
+        # shifted operand, and the one-time channel-major relayout runs
+        # at ~20 GB/s (sublane-major transpose). Kept for A/B until a
+        # fused Pallas dkernel kernel replaces both.
+        dk = _dkernel_packed(x, dy, groups, w_item).astype(kernel.dtype)
+    else:
+        # default: unpack both operands to NDHWC and take XLA's
+        # backward-weights conv — 21.6 ms of the 31 ms batch-8 step on
+        # v5e (bench_train_micro SKIP_DK A/B, r4): the dominant train-
+        # step cost and the target of the planned Pallas dkernel.
+        bp = LANES // w_item
+        xu = unpack_ndhwc(x, bp)
+        dyu = unpack_ndhwc(dy, bp)
 
-    def conv_ref(k):
-        return jax.lax.conv_general_dilated(
-            xu, k, (1, 1, 1), "SAME",
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            feature_group_count=groups)
+        def conv_ref(k):
+            return jax.lax.conv_general_dilated(
+                xu, k, (1, 1, 1), "SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                feature_group_count=groups)
 
-    _, pullback = jax.vjp(conv_ref, kernel)
-    dk, = pullback(dyu)
+        _, pullback = jax.vjp(conv_ref, kernel)
+        dk, = pullback(dyu)
     db = jnp.sum(dy.astype(jnp.float32),
                  axis=(0, 1, 2, 4)).astype(bias_dtype)
     return dx, dk, db
+
+
+def _dkernel_packed(x: jnp.ndarray, dy: jnp.ndarray, groups: int,
+                    w_item: int) -> jnp.ndarray:
+    """Backward-weights contraction DIRECTLY on the packed layout.
+
+    dk[kd,kh,kw,ci,g*co] = sum_{b,d,h,w} x[b,d+kd-1,h+kh-1,w+kw-1,g,ci]
+                                        * dy[b,d,h,w,g,co]
+
+    In the packed layout (nb, D, H, G*C, bp*W) the D/H taps are zero-pad
+    + slice and the W taps are a lane roll masked at each item's W-block
+    edge — all fusable elementwise prologue for one
+    (G, 3*3*3*Cin) x (N*D*H*L) -> (G, tap*Cin, Cout) reduction einsum
+    that XLA runs at the HBM roofline. This replaces the r3 path
+    (unpack x/dy to NDHWC + XLA backward-weights conv) that dominated
+    the packed train step: 21.6 ms of 31 ms at batch 8 on v5e
+    (scripts/bench_train_micro.py SKIP_DK A/B). FLOP count here equals
+    one forward — the win is pure layout/traffic.
+    """
+    nb, d, h, gci, lanes = x.shape
+    gco = dy.shape[3]
+    ci = gci // groups
+    co = gco // groups
+    lane = jax.lax.broadcasted_iota(jnp.int32, (lanes,), 0)
+    wpos = lane % w_item
+
+    # ONE channel-major relayout per operand. After it, every tap's
+    # contraction dims (n, d, h, l) are the minor-contiguous dims of
+    # both operands, so each tap einsum is a plain (G*ci, K) x (K, G*co)
+    # GEMM — XLA needs no per-tap transpose. (The first attempt einsum'd
+    # the packed layout directly: XLA re-transposed x per (kd,kh) group
+    # and the step went 31 -> 71 ms.)
+    xT = jnp.moveaxis(x, 3, 0)        # (G*ci, nb, D, H, L)
+    dyT = jnp.moveaxis(dy, 3, 0).reshape((groups, co, nb, d, h, lanes))
+    xTp = jnp.pad(xT, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+
+    def wshift(t, s):
+        """t shifted so result[w] = t[w + s] within each item W-block."""
+        if s == 0:
+            return t
+        rolled = jnp.roll(t, -s, axis=-1)
+        if s > 0:       # result[w] = t[w+s]: last s positions invalid
+            mask = wpos < (w_item - s)
+        else:           # result[w] = t[w+s], s<0: first |s| invalid
+            mask = wpos >= (-s)
+        return rolled * mask.astype(t.dtype)
+
+    taps = []
+    for kd in range(3):
+        for kh in range(3):
+            xs = jax.lax.slice_in_dim(
+                jax.lax.slice_in_dim(xTp, kd, kd + d, axis=2),
+                kh, kh + h, axis=3)
+            xs = xs.reshape((groups, ci, nb, d, h, lanes))
+            for kw in range(3):
+                taps.append(jnp.einsum(
+                    "gandhl,gbndhl->gab", wshift(xs, kw - 1), dyT,
+                    preferred_element_type=jnp.float32))
+    dk = jnp.stack(taps)                        # (27, G, ci, co)
+    dk = jnp.moveaxis(dk, 1, 2)                 # (27, ci, G, co)
+    return dk.reshape(3, 3, 3, ci, groups * co)
 
 
 _banded_packed_ad.defvjp(_banded_packed_ad_fwd, _banded_packed_ad_bwd)
