@@ -540,6 +540,19 @@ def emit_unavailable(detail: str, attempts: int) -> None:
     }))
 
 
+def _mark(msg: str) -> None:
+    """Stage marker on stderr: an unattended run that dies mid-bench
+    (tunnel outage, OOM, timeout) leaves a trail saying how far it got —
+    the r4 headline run was killed by an outer timeout with ZERO output,
+    indistinguishable from a hang."""
+    import sys
+    print(f"[bench +{time.perf_counter() - _T0:.0f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
+
+
 def main() -> None:
     import os
     import jax
@@ -551,6 +564,7 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
+    _mark("building XLA workload")
     _step, run_pool, stacked = build_workload()  # _step reused for e2e
     rng = jax.random.PRNGKey(7)
     rs = np.random.RandomState(0)
@@ -571,6 +585,7 @@ def main() -> None:
     jax.block_until_ready((vol_pool, gt_pool))
 
     REPEATS = 1 if SMOKE else 8
+    _mark("pools staged; warming up XLA pipeline")
     for _ in range(WARMUP_BATCHES):
         out = run_pool(stacked, vol_pool, gt_pool, rng, repeats=REPEATS)
         np.asarray(out)
@@ -594,6 +609,7 @@ def main() -> None:
 
     xla_vps = per_dispatch_volumes / best
     volumes_per_sec = xla_vps
+    _mark(f"XLA pipeline {xla_vps:.1f} vol/s")
 
     # fully-packed pipeline (packed forward + packed C2/C3 consumers, no
     # unpack transposes): same pools, same protocol. Guarded: a Mosaic
@@ -602,6 +618,7 @@ def main() -> None:
     # number above stands on its own.
     packed_vps = 0.0
     try:
+        _mark("building packed workload")
         _pstep, run_pool_packed, stacked_p = build_workload_packed()
         for _ in range(WARMUP_BATCHES):
             outp = run_pool_packed(stacked_p, vol_pool, gt_pool, rng,
@@ -629,6 +646,7 @@ def main() -> None:
     # same protocol — the r4 contender for the staged batch-128 headline
     hybrid_vps = 0.0
     try:
+        _mark(f"packed pipeline {packed_vps:.1f} vol/s; building hybrid workload")
         _hstep, run_pool_hybrid, stacked_h = build_workload_hybrid()
         for _ in range(WARMUP_BATCHES):
             outh = run_pool_hybrid(stacked_h, vol_pool, gt_pool, rng,
@@ -658,6 +676,7 @@ def main() -> None:
     # this number measures the environment as much as the machine; on a
     # real TPU host the gap to the staged number is the input pipeline's
     # H2D cost.
+    _mark(f"hybrid pipeline {hybrid_vps:.1f} vol/s; e2e next")
     host_vols = np.asarray(vol_pool)
     host_gts = np.asarray(gt_pool)
     e2e_batches = 2 if SMOKE else 8
@@ -670,6 +689,7 @@ def main() -> None:
     e2e_vps = e2e_batches * BATCH / (time.perf_counter() - t0)
 
     mfu = volumes_per_sec * USEFUL_FLOPS_PER_VOLUME / PEAK_BF16
+    _mark(f"e2e {e2e_vps:.1f} vol/s; auxiliary measures next")
     ref_cpu = measure_reference_torch_cpu()
 
     def guarded(fn, *args, fallback=0.0, **kw):
@@ -688,9 +708,11 @@ def main() -> None:
                            batch=8 if SMOKE else 16)
     small_xla = guarded(measure_small_batch_forward, "xla",
                         batch=8 if SMOKE else 16)
+    _mark("window-batch measures done; train-step measures")
     train_packed = guarded(measure_train_step, "packed", fallback={})
     train_ssn_packed = guarded(measure_train_step, "packed", fallback={},
                                ssn=True)
+    _mark("train steps done; sampling scorers")
     aleatoric_vps = guarded(measure_streaming_aleatoric,
                             batch=4 if SMOKE else 32)
     ssn_vps = guarded(measure_streaming_ssn, batch=4 if SMOKE else 16)

@@ -500,3 +500,57 @@ def test_ad_stats_conv_grad_matches_lax():
     for a, b, name in zip(g_got, g_ref, ("dx", "dk", "db")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-3, rtol=2e-3, err_msg=name)
+
+
+@pytest.mark.parametrize("geom,wantbp", [
+    # (B, D, H, W, G, cin, cout); bp = item-packs per 128 lanes
+    ((8, 6, 6, 16, 5, 8, 8), 8),     # LIDC ensemble geometry, 7 boundaries
+    ((4, 5, 7, 32, 2, 4, 6), 4),     # odd spatial dims, uneven channels
+    ((2, 4, 4, 128, 1, 8, 8), 1),    # bp=1: no boundary corrections
+])
+def test_dkernel_fakegeom_matches_unpack(geom, wantbp, monkeypatch):
+    """The fake-geometry backward-weights contraction (dk on the packed
+    layout, lane axis as a fake spatial dim + cross-item boundary
+    corrections) equals the unpack-to-NDHWC reference for every tap —
+    including the kw=+-1 taps whose fake-conv lane pairs cross item
+    boundaries. Runs through the public AD conv so the env switch is
+    covered end to end."""
+    from values_tpu.ops.pallas.conv3d import (_dkernel_fakegeom,
+                                              conv3d_banded_packed_ad)
+    B, D, H, W, G, cin, cout = geom
+    bp = min(128 // W, B)
+    assert bp == wantbp
+    x = jnp.asarray(rs.randn(B, D, H, W, G * cin), dtype=jnp.float32)
+    dy = jnp.asarray(rs.randn(B, D, H, W, G * cout), dtype=jnp.float32)
+    k = jnp.asarray(rs.randn(3, 3, 3, cin, G * cout) * 0.2,
+                    dtype=jnp.float32)
+
+    def conv_ref(kk):
+        return jax.lax.conv_general_dilated(
+            x, kk, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            feature_group_count=G)
+
+    _, pb = jax.vjp(conv_ref, k)
+    dk_ref, = pb(dy)
+    dk_fake = _dkernel_fakegeom(pack_ndhwc(x, bp), pack_ndhwc(dy, bp),
+                                k, G, W)
+    np.testing.assert_allclose(np.asarray(dk_fake), np.asarray(dk_ref),
+                               atol=1e-4, rtol=1e-4)
+
+    # and through the full custom VJP (grad wrt kernel), fake vs unpack
+    if B * W == 128:  # the AD wrapper requires full lanes
+        bias = jnp.asarray(rs.randn(G * cout), dtype=jnp.float32)
+        cot = pack_ndhwc(dy, bp)
+
+        def loss(kk, impl):
+            monkeypatch.setenv("VALUES_TPU_DK_IMPL", impl)
+            out = conv3d_banded_packed_ad(
+                pack_ndhwc(x, bp), kk, bias, G, w_item=W, interpret=True)
+            return jnp.sum(out * cot)
+
+        g_fake = jax.grad(lambda kk: loss(kk, "fake"))(k)
+        g_unpack = jax.grad(lambda kk: loss(kk, "unpack"))(k)
+        np.testing.assert_allclose(np.asarray(g_fake),
+                                   np.asarray(g_unpack),
+                                   atol=1e-4, rtol=1e-4)

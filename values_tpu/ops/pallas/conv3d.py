@@ -948,9 +948,16 @@ def _banded_bwd_core(groups, w_item, interpret, x, kernel, dy):
             3, 3, 3, cout, groups * cin)
         dx = _conv_packed_any(dy, kb, None, groups, w_item, interpret)
 
+    dk_impl = os.environ.get("VALUES_TPU_DK_IMPL", "fake")
     if os.environ.get("VALUES_TPU_SKIP_DK") == "1":
         dk = jnp.zeros_like(kernel)
-    elif os.environ.get("VALUES_TPU_DK_IMPL") == "packed":
+    elif dk_impl == "fake":
+        # default (r4): backward-weights DIRECTLY on the packed layout
+        # via a fake-geometry XLA conv — see _dkernel_fakegeom. Kills
+        # the two full-tensor unpack transposes the "unpack" path pays
+        # per conv site.
+        dk = _dkernel_fakegeom(x, dy, kernel, groups, w_item)
+    elif dk_impl == "packed":
         # experimental: contraction in the packed layout (see
         # _dkernel_packed). Measured SLOWER than the unpack path on v5e
         # r4 (step 64 vs 31 ms): every tap pays a materialization of the
@@ -959,10 +966,10 @@ def _banded_bwd_core(groups, w_item, interpret, x, kernel, dy):
         # fused Pallas dkernel kernel replaces both.
         dk = _dkernel_packed(x, dy, groups, w_item).astype(kernel.dtype)
     else:
-        # default: unpack both operands to NDHWC and take XLA's
-        # backward-weights conv — 21.6 ms of the 31 ms batch-8 step on
-        # v5e (bench_train_micro SKIP_DK A/B, r4): the dominant train-
-        # step cost and the target of the planned Pallas dkernel.
+        # "unpack" (r3 default): unpack both operands to NDHWC and take
+        # XLA's backward-weights conv — 21.6 ms of the 31 ms batch-8
+        # step on v5e (bench_train_micro SKIP_DK A/B, r4), the cost the
+        # fake-geometry path above exists to beat.
         bp = LANES // w_item
         xu = unpack_ndhwc(x, bp)
         dyu = unpack_ndhwc(dy, bp)
@@ -978,6 +985,77 @@ def _banded_bwd_core(groups, w_item, interpret, x, kernel, dy):
     db = jnp.sum(dy.astype(jnp.float32),
                  axis=(0, 1, 2, 4)).astype(bias_dtype)
     return dx, dk, db
+
+
+def _dkernel_fakegeom(x: jnp.ndarray, dy: jnp.ndarray,
+                      kernel: jnp.ndarray, groups: int,
+                      w_item: int) -> jnp.ndarray:
+    """Backward-weights contraction on the packed layout via a
+    FAKE-GEOMETRY conv: no unpack transposes at all.
+
+    The packed tensor (nb, D, H, C, L) is handed to XLA's backward-
+    weights conv as a real NDHWC-style operand with the LANE axis as a
+    third spatial dim of extent L=bp*w_item (dimension numbers
+    "NDHCW") — the contraction over (n, d, h, lane) has identical FLOP
+    count to the true (b, d, h, w) one because nb*L = B*W. Two
+    deviations from the true dkernel, both corrected exactly:
+
+    - kw=+-1 taps pair lanes ACROSS item boundaries (item m's last
+      column against item m+1's first), where the true conv sees SAME
+      zero-padding. Those invalid pairs touch only the bp-1 interior
+      boundary lanes, so the correction is a (kd, kh)-shifted
+      contraction over (n, d, h, bp-1 lanes) — ~1/w_item of one tap's
+      work — subtracted from the fake result.
+    - the fake conv zero-pads lanes 0 and L-1, which IS the true
+      padding of the outermost items' W edges: no correction needed.
+
+    Replaces the r3 "unpack" path (two full-tensor sublane-major
+    transposes + XLA conv, 21.6 ms of the 31 ms batch-8 train step on
+    v5e) and the r4 "packed" einsum attempt (64 ms: per-tap operand
+    materialization). Reference anchor for the workload this serves:
+    hot loop #1 (unet3D_module.py:296-373, the training step).
+    """
+    nb, d, h, gci, lanes = x.shape
+    gco = dy.shape[3]
+    ci = gci // groups
+    co = gco // groups
+    bp = lanes // w_item
+
+    def conv_fake(k):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHCW", "DHWIO", "NDHCW"),
+            feature_group_count=groups)
+
+    _, pullback = jax.vjp(conv_fake, kernel)
+    dk_fake, = pullback(dy)
+    dk = dk_fake.astype(jnp.float32).reshape(3, 3, 3, ci, groups, co)
+
+    if bp > 1:
+        # boundary lanes: m*w_item, m = 1..bp-1
+        lm = np.arange(1, bp) * w_item
+        xpad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+
+        def corr(x_lanes, dy_lanes):
+            xb = xpad[..., x_lanes].reshape(nb, d + 2, h + 2, groups,
+                                            ci, len(x_lanes))
+            db = dy[..., dy_lanes].reshape(nb, d, h, groups,
+                                           co, len(dy_lanes))
+            taps = [
+                jnp.einsum("ndhgam,ndhgbm->gab",
+                           xb[:, kd:kd + d, kh:kh + h], db,
+                           preferred_element_type=jnp.float32)
+                for kd in range(3) for kh in range(3)]
+            # (3, 3, G, ci, co) -> (3, 3, ci, G, co)
+            return jnp.stack(taps).reshape(
+                3, 3, groups, ci, co).transpose(0, 1, 3, 2, 4)
+
+        # kw=0 tap (shift -1): x[w-1]*dy[w] invalid at each item's w=0
+        dk = dk.at[:, :, 0].add(-corr(lm - 1, lm))
+        # kw=2 tap (shift +1): x[w+1]*dy[w] invalid at each item's last w
+        dk = dk.at[:, :, 2].add(-corr(lm, lm - 1))
+
+    return dk.reshape(3, 3, 3, ci, groups * co).astype(kernel.dtype)
 
 
 def _dkernel_packed(x: jnp.ndarray, dy: jnp.ndarray, groups: int,
