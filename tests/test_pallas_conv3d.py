@@ -539,18 +539,20 @@ def test_dkernel_fakegeom_matches_unpack(geom, wantbp, monkeypatch):
                                atol=1e-4, rtol=1e-4)
 
     # and through the full custom VJP (grad wrt kernel), fake vs unpack
-    if B * W == 128:  # the AD wrapper requires full lanes
-        bias = jnp.asarray(rs.randn(G * cout), dtype=jnp.float32)
-        cot = pack_ndhwc(dy, bp)
+    if B * W != 128:  # the AD wrapper requires full lanes
+        pytest.skip(f"AD leg needs B*W == 128 (got {B}*{W}={B * W}); "
+                    "kernel-level check above already passed")
+    bias = jnp.asarray(rs.randn(G * cout), dtype=jnp.float32)
+    cot = pack_ndhwc(dy, bp)
 
-        def loss(kk, impl):
-            monkeypatch.setenv("VALUES_TPU_DK_IMPL", impl)
-            out = conv3d_banded_packed_ad(
-                pack_ndhwc(x, bp), kk, bias, G, w_item=W, interpret=True)
-            return jnp.sum(out * cot)
+    def loss(kk, impl):
+        monkeypatch.setenv("VALUES_TPU_DK_IMPL", impl)
+        out = conv3d_banded_packed_ad(
+            pack_ndhwc(x, bp), kk, bias, G, w_item=W, interpret=True)
+        return jnp.sum(out * cot)
 
-        g_fake = jax.grad(lambda kk: loss(kk, "fake"))(k)
-        g_unpack = jax.grad(lambda kk: loss(kk, "unpack"))(k)
-        np.testing.assert_allclose(np.asarray(g_fake),
-                                   np.asarray(g_unpack),
-                                   atol=1e-4, rtol=1e-4)
+    g_fake = jax.grad(lambda kk: loss(kk, "fake"))(k)
+    g_unpack = jax.grad(lambda kk: loss(kk, "unpack"))(k)
+    np.testing.assert_allclose(np.asarray(g_fake),
+                               np.asarray(g_unpack),
+                               atol=1e-4, rtol=1e-4)

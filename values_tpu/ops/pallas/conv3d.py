@@ -948,14 +948,16 @@ def _banded_bwd_core(groups, w_item, interpret, x, kernel, dy):
             3, 3, 3, cout, groups * cin)
         dx = _conv_packed_any(dy, kb, None, groups, w_item, interpret)
 
-    dk_impl = os.environ.get("VALUES_TPU_DK_IMPL", "fake")
+    dk_impl = os.environ.get("VALUES_TPU_DK_IMPL", "unpack")
     if os.environ.get("VALUES_TPU_SKIP_DK") == "1":
         dk = jnp.zeros_like(kernel)
     elif dk_impl == "fake":
-        # default (r4): backward-weights DIRECTLY on the packed layout
-        # via a fake-geometry XLA conv — see _dkernel_fakegeom. Kills
-        # the two full-tensor unpack transposes the "unpack" path pays
-        # per conv site.
+        # backward-weights DIRECTLY on the packed layout via a
+        # fake-geometry XLA conv — see _dkernel_fakegeom. Kills the two
+        # full-tensor unpack transposes the "unpack" path pays per conv
+        # site, but measured SLOWER on v5e (r5 A/B: 51.8 vs 31.6 ms
+        # bf16 batch-8 step): XLA's backward-weights emitter picks a
+        # poor layout for the fake NDHCW geometry. Kept for A/B.
         dk = _dkernel_fakegeom(x, dy, kernel, groups, w_item)
     elif dk_impl == "packed":
         # experimental: contraction in the packed layout (see
@@ -965,8 +967,9 @@ def _banded_bwd_core(groups, w_item, interpret, x, kernel, dy):
         # at ~20 GB/s (sublane-major transpose). Kept for A/B until a
         # fused Pallas dkernel kernel replaces both.
         dk = _dkernel_packed(x, dy, groups, w_item).astype(kernel.dtype)
-    else:
-        # "unpack" (r3 default): unpack both operands to NDHWC and take
+    elif dk_impl == "unpack":
+        # DEFAULT (r3, re-measured fastest r5): unpack both operands to
+        # NDHWC and take
         # XLA's backward-weights conv — 21.6 ms of the 31 ms batch-8
         # step on v5e (bench_train_micro SKIP_DK A/B, r4), the cost the
         # fake-geometry path above exists to beat.
@@ -982,6 +985,10 @@ def _banded_bwd_core(groups, w_item, interpret, x, kernel, dy):
 
         _, pullback = jax.vjp(conv_ref, kernel)
         dk, = pullback(dyu)
+    else:
+        raise ValueError(
+            f"VALUES_TPU_DK_IMPL={dk_impl!r}: expected one of "
+            "'fake', 'packed', 'unpack'")
     db = jnp.sum(dy.astype(jnp.float32),
                  axis=(0, 1, 2, 4)).astype(bias_dtype)
     return dx, dk, db
@@ -1019,6 +1026,7 @@ def _dkernel_fakegeom(x: jnp.ndarray, dy: jnp.ndarray,
     gco = dy.shape[3]
     ci = gci // groups
     co = gco // groups
+    assert lanes % w_item == 0, (lanes, w_item)
     bp = lanes // w_item
 
     def conv_fake(k):
