@@ -394,6 +394,74 @@ def measure_small_batch_forward(backend: str, batch: int = 16) -> float:
     return batch * repeats / best
 
 
+def measure_hrnet_2d(batch: int = 8) -> dict:
+    """The reference's 2D workload (test_2D.py:273-319): HRNet-W48
+    whole-image softmax inference at the shipped 256x478 GTA/Cityscapes
+    geometry, 24 classes, f32. Returns img/s at the given batch plus a
+    full-resolution sliding-window line (1024x1912, 256x478 windows,
+    overlap 0.5, count-averaged stitching — window2d semantics;
+    preprocess_gta_cityscapes.py:47-182 is the geometry source). Same
+    chained-scan best-of-N protocol as the headline."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from values_tpu.config import compose
+    from values_tpu.config.instantiate import instantiate
+    from pathlib import Path
+
+    h_inf, w_inf = (64, 120) if SMOKE else (256, 478)
+    cfg = compose(Path(__file__).resolve().parent / "configs",
+                  "gta_softmax_config", ["MODEL.PRETRAINED=False"])
+    model = instantiate(cfg.model.to_container())
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(model.init)(
+        rng, jnp.zeros((1, h_inf, w_inf, 3), jnp.float32))
+
+    repeats = 1 if SMOKE else 8
+
+    @jax.jit
+    def chained(variables, x):
+        def body(carry, i):
+            xi = x + carry * jnp.float32(1e-30)
+            p = jax.nn.softmax(model.apply(variables, xi, train=False),
+                               axis=-1)
+            return p[0, 0, 0, 0].astype(jnp.float32), ()
+        return jax.lax.scan(body, jnp.float32(0.0),
+                            jnp.arange(repeats))[0]
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(batch, h_inf, w_inf, 3).astype(np.float32))
+    out = np.asarray(chained(variables, x))
+    assert np.isfinite(out)
+    best = float("inf")
+    for _ in range(N_TIMING):
+        t0 = time.perf_counter()
+        np.asarray(chained(variables, x))
+        best = min(best, time.perf_counter() - t0)
+    result = {"whole_image_256x478_batch8_img_per_sec":
+              round(batch * repeats / best, 1)}
+
+    # full-res sliding window (the reference preprocesses 1024x1912
+    # center crops; --sliding_window runs the full-res image through
+    # 256x478 windows with overlap 0.5 and count-averaged stitching)
+    from values_tpu.inference.window2d import SlidingPredictor2D
+    h_full, w_full = (128, 240) if SMOKE else (1024, 1912)
+    num_classes = int(cfg.datamodule.num_classes)
+    predictor = SlidingPredictor2D(model, (h_inf, w_inf), num_classes,
+                                   overlap=0.5)
+    x_full = rs.rand(h_full, w_full, 3).astype(np.float32)
+    out = predictor(variables, x_full, rng)
+    assert np.all(np.isfinite(np.asarray(out)))
+    best = float("inf")
+    for _ in range(max(1, N_TIMING - 1)):
+        t0 = time.perf_counter()
+        predictor(variables, x_full, rng)
+        best = min(best, time.perf_counter() - t0)
+    result["fullres_1024x1912_sliding_window_img_per_sec"] = round(
+        1.0 / best, 2)
+    return result
+
+
 def measure_train_step(backend: str = "packed", batch: int = 8,
                        ssn: bool = False) -> dict:
     """bf16 training-step throughput (batch 8, 64^3, UNet3D f8, Dice+CE,
@@ -716,6 +784,9 @@ def main() -> None:
     aleatoric_vps = guarded(measure_streaming_aleatoric,
                             batch=4 if SMOKE else 32)
     ssn_vps = guarded(measure_streaming_ssn, batch=4 if SMOKE else 16)
+    _mark("sampling scorers done; 2D HRNet measures")
+    hrnet_2d = guarded(measure_hrnet_2d, batch=2 if SMOKE else 8,
+                       fallback={})
     record = {
         "metric": "lidc_ensemble5_entropy_inference_throughput",
         "value": round(volumes_per_sec, 2),
@@ -744,6 +815,9 @@ def main() -> None:
         # SSN ensemble scoring: packed trunk + streaming per-member
         # low-rank-MVN draws (10 per member)
         "ssn_streaming_volumes_per_sec": round(ssn_vps, 1),
+        # the 2D workload: HRNet-W48 at the GTA/Cityscapes geometry
+        # (whole-image 256x478 + full-res sliding window)
+        "hrnet_2d": hrnet_2d,
         # every timing above takes the best of 3 fully-synchronized
         # dispatches of a chained-scan program — the tunnel's multi-
         # hundred-ms per-dispatch jitter is excluded by protocol, so

@@ -969,10 +969,15 @@ def _banded_bwd_core(groups, w_item, interpret, x, kernel, dy):
         dk = _dkernel_packed(x, dy, groups, w_item).astype(kernel.dtype)
     elif dk_impl == "unpack":
         # DEFAULT (r3, re-measured fastest r5): unpack both operands to
-        # NDHWC and take
-        # XLA's backward-weights conv — 21.6 ms of the 31 ms batch-8
-        # step on v5e (bench_train_micro SKIP_DK A/B, r4), the cost the
-        # fake-geometry path above exists to beat.
+        # NDHWC and take XLA's backward-weights conv — 21.6 ms of the
+        # 31 ms batch-8 step on v5e (bench_train_micro SKIP_DK A/B).
+        # r5 floor probes close the search: an ideal pre-im2col'd dot
+        # for this contraction runs 4.1-4.6 ms at the dominant site
+        # regardless of operand layout or N (the chip feeds tall-skinny
+        # dots at ~210 GB/s), XLA's conv is within 25% of that floor,
+        # and a 4-spatial-dim conv on the packed layout (exact, zero
+        # transposes) lowers 1.8x WORSE (9.5 ms vs 6.3 total here).
+        # See ROADMAP "measured structural dead end".
         bp = LANES // w_item
         xu = unpack_ndhwc(x, bp)
         dyu = unpack_ndhwc(dy, bp)
