@@ -452,6 +452,24 @@ def measure_hrnet_2d(batch: int = 8) -> dict:
     x_full = rs.rand(h_full, w_full, 3).astype(np.float32)
     out = predictor(variables, x_full, rng)
     assert np.all(np.isfinite(np.asarray(out)))
+    # staged: gather -> 7x batch-8 forwards -> quilt stitch on device,
+    # image pre-staged (the production geometry needs no host-side pad,
+    # so the predictor consumes a device array as-is) and the ~190 MB
+    # softmax map kept on the chip (as when C2 measures consume it
+    # there)
+    x_dev = jnp.asarray(x_full)
+    x_dev.block_until_ready()
+    best = float("inf")
+    for _ in range(max(1, N_TIMING - 1)):
+        t0 = time.perf_counter()
+        predictor(variables, x_dev, rng,
+                  as_numpy=False).block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    result["fullres_1024x1912_sliding_window_staged_img_per_sec"] = (
+        round(1.0 / best, 2))
+    # end-to-end: + the full (h, w, classes) f32 map D2H (through this
+    # harness's relay tunnel that transfer dominates; on a real host
+    # it is PCIe)
     best = float("inf")
     for _ in range(max(1, N_TIMING - 1)):
         t0 = time.perf_counter()

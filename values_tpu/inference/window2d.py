@@ -181,8 +181,15 @@ class SlidingPredictor2D:
 
         return jax.jit(run)
 
-    def __call__(self, variables, image: np.ndarray,
-                 rng) -> np.ndarray:
+    def __call__(self, variables, image: np.ndarray, rng,
+                 as_numpy: bool = True) -> np.ndarray:
+        """``as_numpy=False`` returns the (h, w, classes) softmax map as
+        a device array without the D2H transfer — the full-res map is
+        ~190 MB at the production geometry, so callers that keep
+        consuming on device (or benchmarks isolating compute from the
+        transfer) should opt out of the copy. ``image`` may itself be a
+        device array when its geometry needs no pad (pads fall back to
+        a host round-trip via np.pad)."""
         ph, pw = self.patch_hw
         sh, sw = self._strides()
         h, w = image.shape[:2]
@@ -198,8 +205,8 @@ class SlidingPredictor2D:
         if run is None:
             run = self._build_run(*key)
             self._run_cache[key] = run
-        out = run(jnp.asarray(image), variables, rng)
-        return np.asarray(out)[:h, :w]
+        out = run(jnp.asarray(image), variables, rng)[:h, :w]
+        return np.asarray(out) if as_numpy else out
 
 
 def predict_sliding_2d(forward: Callable, image: np.ndarray,
