@@ -480,6 +480,55 @@ def measure_hrnet_2d(batch: int = 8) -> dict:
     return result
 
 
+def measure_hrnet_train_step(batch: int = 6) -> dict:
+    """2D training-step throughput: HRNet-W48, 24 classes, 256x478
+    GTA geometry, reference objective and optimizer (CE with
+    ignore_index 255; SGD momentum 0.9, lr 0.01, wd 5e-4, polynomial
+    schedule — gta_softmax_config.yaml), f32 like the reference, at its
+    shipped batch size 6. Chained-scan best-of-N protocol."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from pathlib import Path
+    from values_tpu.config import compose
+    from values_tpu.training.experiment import Experiment
+
+    h, w = (64, 120) if SMOKE else (256, 478)
+    cfg = compose(Path(__file__).resolve().parent / "configs",
+                  "gta_softmax_config", ["MODEL.PRETRAINED=False"])
+    exp = Experiment(cfg)
+    state = exp.init_state_2d(jax.random.PRNGKey(0), h, w, 3)
+    rs = np.random.RandomState(0)
+    data = jnp.asarray(rs.rand(batch, h, w, 3).astype(np.float32))
+    seg = rs.randint(0, 24, size=(batch, h, w)).astype(np.int32)
+    seg[:, :4] = 255  # exercise the ignore_index path
+    seg = jnp.asarray(seg)
+    repeats = 1 if SMOKE else 8
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def steps(state, data, seg, rng):
+        def body(st, i):
+            st, loss = exp.train_step_fn(
+                st, {"data": data, "seg": seg},
+                jax.random.fold_in(rng, i), False)
+            return st, loss
+        return jax.lax.scan(body, state, jnp.arange(repeats))
+
+    rng = jax.random.PRNGKey(1)
+    state, losses = steps(state, data, seg, rng)
+    out = np.asarray(losses)
+    assert np.all(np.isfinite(out)), out
+    best = float("inf")
+    for _ in range(N_TIMING):
+        t0 = time.perf_counter()
+        state, losses = steps(state, data, seg, rng)
+        np.asarray(losses)
+        best = min(best, time.perf_counter() - t0)
+    ms = best / repeats * 1e3
+    return {"ms_per_step": round(ms, 1),
+            "img_per_sec": round(batch / (ms / 1e3), 1)}
+
+
 def measure_train_step(backend: str = "packed", batch: int = 8,
                        ssn: bool = False) -> dict:
     """bf16 training-step throughput (batch 8, 64^3, UNet3D f8, Dice+CE,
@@ -805,6 +854,8 @@ def main() -> None:
     _mark("sampling scorers done; 2D HRNet measures")
     hrnet_2d = guarded(measure_hrnet_2d, batch=2 if SMOKE else 8,
                        fallback={})
+    hrnet_train = guarded(measure_hrnet_train_step,
+                          batch=2 if SMOKE else 6, fallback={})
     record = {
         "metric": "lidc_ensemble5_entropy_inference_throughput",
         "value": round(volumes_per_sec, 2),
@@ -836,6 +887,9 @@ def main() -> None:
         # the 2D workload: HRNet-W48 at the GTA/Cityscapes geometry
         # (whole-image 256x478 + full-res sliding window)
         "hrnet_2d": hrnet_2d,
+        # 2D training step: reference objective/optimizer at the shipped
+        # GTA geometry and batch size (f32, CE ignore_index 255, SGD)
+        "hrnet_train_step_f32": hrnet_train,
         # every timing above takes the best of 3 fully-synchronized
         # dispatches of a chained-scan program — the tunnel's multi-
         # hundred-ms per-dispatch jitter is excluded by protocol, so
