@@ -441,6 +441,47 @@ def measure_hrnet_2d(batch: int = 8) -> dict:
     result = {"whole_image_256x478_batch8_img_per_sec":
               round(batch * repeats / best, 1)}
 
+    # bf16 speed path: same f32 master weights (param_dtype stays f32),
+    # bf16 compute with f32 softmax — the 2D analog of the 3D headline's
+    # precision scheme. The reference runs f64 (test_2D.py) and the f32
+    # line above is the parity default; this line measures the opt-in
+    # TPU-native precision. Cross-checked against f32 on the same batch
+    # before timing (deviation reported, not assumed).
+    model16 = instantiate(cfg.model.to_container(), dtype=jnp.bfloat16)
+
+    def softmax16(variables, x):
+        return jax.nn.softmax(
+            model16.apply(variables, x.astype(jnp.bfloat16),
+                          train=False).astype(jnp.float32), axis=-1)
+
+    @jax.jit
+    def chained16(variables, x):
+        def body(carry, i):
+            xi = x + carry * jnp.float32(1e-30)
+            return softmax16(variables, xi)[0, 0, 0, 0], ()
+
+        return jax.lax.scan(body, jnp.float32(0.0),
+                            jnp.arange(repeats))[0]
+
+    p16 = np.asarray(jax.jit(softmax16)(variables, x))
+    p32 = np.asarray(jax.jit(
+        lambda v, x: jax.nn.softmax(model.apply(v, x, train=False),
+                                    axis=-1))(variables, x))
+    assert np.all(np.isfinite(p16))
+    diff = np.abs(p32 - p16)
+    result["bf16_softmax_max_abs_diff"] = round(float(diff.max()), 4)
+    result["bf16_softmax_mean_abs_diff"] = round(float(diff.mean()), 6)
+    result["bf16_argmax_agreement"] = round(
+        float((p32.argmax(-1) == p16.argmax(-1)).mean()), 4)
+    np.asarray(chained16(variables, x))  # warm
+    best = float("inf")
+    for _ in range(N_TIMING):
+        t0 = time.perf_counter()
+        np.asarray(chained16(variables, x))
+        best = min(best, time.perf_counter() - t0)
+    result["whole_image_256x478_batch8_bf16_img_per_sec"] = round(
+        batch * repeats / best, 1)
+
     # full-res sliding window (the reference preprocesses 1024x1912
     # center crops; --sliding_window runs the full-res image through
     # 256x478 windows with overlap 0.5 and count-averaged stitching)
@@ -467,6 +508,22 @@ def measure_hrnet_2d(batch: int = 8) -> dict:
         best = min(best, time.perf_counter() - t0)
     result["fullres_1024x1912_sliding_window_staged_img_per_sec"] = (
         round(1.0 / best, 2))
+    # bf16 sliding window: same predictor machinery over the bf16-compute
+    # model (stitch accumulates f32); cross-checked against the f32 map
+    predictor16 = SlidingPredictor2D(model16, (h_inf, w_inf), num_classes,
+                                     overlap=0.5)
+    out16 = np.asarray(predictor16(variables, x_dev, rng, as_numpy=False))
+    assert np.all(np.isfinite(out16))
+    result["fullres_bf16_max_abs_diff"] = round(
+        float(np.abs(np.asarray(out) - out16).max()), 4)
+    best = float("inf")
+    for _ in range(max(1, N_TIMING - 1)):
+        t0 = time.perf_counter()
+        predictor16(variables, x_dev, rng,
+                    as_numpy=False).block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    result["fullres_1024x1912_sliding_window_staged_bf16_img_per_sec"] = (
+        round(1.0 / best, 2))
     # end-to-end: + the full (h, w, classes) f32 map D2H (through this
     # harness's relay tunnel that transfer dominates; on a real host
     # it is PCIe)
@@ -480,12 +537,16 @@ def measure_hrnet_2d(batch: int = 8) -> dict:
     return result
 
 
-def measure_hrnet_train_step(batch: int = 6) -> dict:
+def measure_hrnet_train_step(batch: int = 6,
+                             precision: str = "32") -> dict:
     """2D training-step throughput: HRNet-W48, 24 classes, 256x478
     GTA geometry, reference objective and optimizer (CE with
     ignore_index 255; SGD momentum 0.9, lr 0.01, wd 5e-4, polynomial
-    schedule — gta_softmax_config.yaml), f32 like the reference, at its
-    shipped batch size 6. Chained-scan best-of-N protocol."""
+    schedule — gta_softmax_config.yaml) at its shipped batch size 6.
+    ``precision="32"`` is the reference-parity default;
+    ``precision="bf16"`` measures the TPU-native mixed path (bf16
+    compute, f32 master weights + loss reduce — the same Experiment
+    precision knob as 3D training). Chained-scan best-of-N protocol."""
     import functools
     import jax
     import jax.numpy as jnp
@@ -495,7 +556,8 @@ def measure_hrnet_train_step(batch: int = 6) -> dict:
 
     h, w = (64, 120) if SMOKE else (256, 478)
     cfg = compose(Path(__file__).resolve().parent / "configs",
-                  "gta_softmax_config", ["MODEL.PRETRAINED=False"])
+                  "gta_softmax_config",
+                  ["MODEL.PRETRAINED=False", f"precision={precision}"])
     exp = Experiment(cfg)
     state = exp.init_state_2d(jax.random.PRNGKey(0), h, w, 3)
     rs = np.random.RandomState(0)
@@ -856,6 +918,9 @@ def main() -> None:
                        fallback={})
     hrnet_train = guarded(measure_hrnet_train_step,
                           batch=2 if SMOKE else 6, fallback={})
+    hrnet_train_bf16 = guarded(measure_hrnet_train_step,
+                               batch=2 if SMOKE else 6,
+                               precision="bf16", fallback={})
     record = {
         "metric": "lidc_ensemble5_entropy_inference_throughput",
         "value": round(volumes_per_sec, 2),
@@ -890,6 +955,9 @@ def main() -> None:
         # 2D training step: reference objective/optimizer at the shipped
         # GTA geometry and batch size (f32, CE ignore_index 255, SGD)
         "hrnet_train_step_f32": hrnet_train,
+        # same step through the mixed-precision knob (bf16 compute, f32
+        # master weights + loss reduce; precision=bf16)
+        "hrnet_train_step_bf16": hrnet_train_bf16,
         # every timing above takes the best of 3 fully-synchronized
         # dispatches of a chained-scan program — the tunnel's multi-
         # hundred-ms per-dispatch jitter is excluded by protocol, so

@@ -263,3 +263,45 @@ def test_tester_2d_sliding_window(gta_tree, tmp_path):
     assert 0 <= metrics["mean"]["metrics"]["dice"] <= 1
     assert (base / "pred_seg" / f"{image_id}_mean.png").exists()
     assert (base / "pred_entropy" / f"{image_id}.tif").exists()
+
+
+def test_tester_2d_bfloat16(gta_tree, tmp_path):
+    """--dtype bfloat16: bf16 compute, f32 softmax/statistics (the 2D
+    analog of the 3D engine's bf16 mode). The artifact contract is
+    unchanged and the softmax deviation from the f32 path stays small
+    (the bench cross-checks the full-size W48 the same way)."""
+    from values_tpu.inference import test_2d
+    from values_tpu.models.hrnet import HighResolutionNet
+    from values_tpu.training.checkpoint import save_checkpoint
+    from tests.test_hrnet import small_cfg
+
+    hparams = _hrnet_hparams(gta_tree, tmp_path)
+    model = HighResolutionNet(cfg=small_cfg(num_classes=NUM_CLASSES))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, H, W, 3)))
+    # bf16-compute forward stays close to f32 on the same weights
+    m16 = HighResolutionNet(cfg=small_cfg(num_classes=NUM_CLASSES),
+                            dtype=jnp.bfloat16)
+    x = jnp.asarray(np.random.RandomState(0)
+                    .rand(2, H, W, 3).astype(np.float32))
+    p32 = jax.nn.softmax(model.apply(variables, x, train=False), axis=-1)
+    p16 = jax.nn.softmax(
+        m16.apply(variables, x.astype(jnp.bfloat16),
+                  train=False).astype(jnp.float32), axis=-1)
+    assert float(jnp.mean(jnp.abs(p32 - p16))) < 5e-3
+
+    ckpt = tmp_path / "hrnet_bf16.ckpt"
+    save_checkpoint(str(ckpt), variables, hparams)
+    args = test_2d.test_cli([
+        "--checkpoint_paths", str(ckpt), "--test_split", "id",
+        "--n_pred", "2", "--n_reference_samples", "2",
+        "--dtype", "bfloat16",
+    ])
+    test_2d.run_test(args)
+    base = (tmp_path / "results" / "Softmax-GTA" / "test_results" / "0"
+            / "id")
+    metrics = json.loads((base / "metrics.json").read_text())
+    image_id = [k for k in metrics if k != "mean"][0]
+    assert 0 <= metrics["mean"]["metrics"]["dice"] <= 1
+    assert (base / "pred_seg" / f"{image_id}_mean.png").exists()
+    assert (base / "pred_entropy" / f"{image_id}.tif").exists()

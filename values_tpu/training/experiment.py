@@ -78,8 +78,9 @@ class Experiment:
         except TypeError:
             if "dtype" not in extra_kwargs:
                 raise
-            # model family without a compute-dtype knob (e.g. HRNet cfg
-            # dict): fall back to f32 compute, warn once
+            # model family without a compute-dtype knob (all shipped
+            # families take it — UNet3D/SsnUNet3D directly, HRNet via
+            # get_seg_model's **kwargs): fall back to f32 compute, warn
             import warnings
             warnings.warn("precision=bf16 requested but "
                           f"{model_cfg.get('_target_')} takes no dtype; "
