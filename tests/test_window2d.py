@@ -64,6 +64,26 @@ def test_sliding_predictor_hrnet_smoke():
         np.testing.assert_allclose(out.sum(-1), 1.0, atol=1e-5)
 
 
+def test_sliding_predictor_as_numpy_false():
+    """as_numpy=False (r5: keep the ~190 MB full-res softmax map on
+    device for packed C2 consumers / honest compute timing) returns a
+    device array bit-identical to the numpy path, including the
+    pad-then-crop geometry."""
+    from values_tpu.models.hrnet import HighResolutionNet
+    from tests.test_hrnet import small_cfg
+
+    model = HighResolutionNet(cfg=small_cfg(num_classes=5))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 32, 32, 3)))
+    sp = SlidingPredictor2D(model, (32, 32), 5, overlap=0.5)
+    img = np.random.RandomState(2).rand(48, 40, 3).astype(np.float32)
+    host = sp(variables, img, jax.random.PRNGKey(0))
+    dev = sp(variables, img, jax.random.PRNGKey(0), as_numpy=False)
+    assert isinstance(dev, jax.Array)
+    assert dev.shape == (48, 40, 5)
+    np.testing.assert_array_equal(host, np.asarray(dev))
+
+
 class _PixelLocalModel:
     """Minimal model shim (apply(variables, x) -> logits), pixel-local
     so any count-averaged window placement reproduces the whole-image
