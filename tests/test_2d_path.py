@@ -305,3 +305,27 @@ def test_tester_2d_bfloat16(gta_tree, tmp_path):
     assert 0 <= metrics["mean"]["metrics"]["dice"] <= 1
     assert (base / "pred_seg" / f"{image_id}_mean.png").exists()
     assert (base / "pred_entropy" / f"{image_id}.tif").exists()
+
+
+def test_tester_2d_float64_requires_x64(gta_tree, tmp_path):
+    """--dtype float64 without x64 mode raises loudly instead of
+    silently demoting the parity harness to f32 (jnp drops f64 to f32
+    when jax_enable_x64 is off)."""
+    from values_tpu.inference import test_2d
+    from values_tpu.models.hrnet import HighResolutionNet
+    from values_tpu.training.checkpoint import save_checkpoint
+    from tests.test_hrnet import small_cfg
+
+    hparams = _hrnet_hparams(gta_tree, tmp_path)
+    model = HighResolutionNet(cfg=small_cfg(num_classes=NUM_CLASSES))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, H, W, 3)))
+    ckpt = tmp_path / "hrnet_f64.ckpt"
+    save_checkpoint(str(ckpt), variables, hparams)
+    args = test_2d.test_cli([
+        "--checkpoint_paths", str(ckpt), "--test_split", "id",
+        "--n_pred", "1", "--dtype", "float64",
+    ])
+    assert not jax.config.jax_enable_x64
+    with pytest.raises(ValueError, match="JAX_ENABLE_X64"):
+        test_2d.run_test(args)

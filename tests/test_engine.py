@@ -545,3 +545,15 @@ def test_prefetch_thread_exception_propagates(rng, small_model, tmp_path):
                                  n_pred=2, patch_size=P, prefetch=True)
     with pytest.raises(FileNotFoundError):
         engine.run_samples(samples)
+
+
+def test_build_engine_float64_requires_x64():
+    """--dtype float64 without x64 mode raises loudly instead of
+    silently demoting the parity harness to f32."""
+    import argparse
+    from values_tpu.inference.test_3d import build_engine
+
+    args = argparse.Namespace(dtype="float64", tta=False)
+    assert not jax.config.jax_enable_x64
+    with pytest.raises(ValueError, match="JAX_ENABLE_X64"):
+        build_engine({"model": {}}, [], args)

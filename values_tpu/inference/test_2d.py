@@ -56,6 +56,12 @@ class Tester2D:
         # f32 default and the float64 parity mode pass the dtype through
         # to the model so activations match the requested precision.
         self.dtype = jnp.dtype(getattr(args, "dtype", None) or "float32")
+        if self.dtype == jnp.float64 and not jax.config.jax_enable_x64:
+            # without x64, jnp silently demotes f64 to f32 — the parity
+            # harness would report f32 numbers as f64
+            raise ValueError("--dtype float64 requires x64 mode; set "
+                             "JAX_ENABLE_X64=1 (or jax.config.update"
+                             "('jax_enable_x64', True)) before running")
         self.models = []
         for hp, variables in self.checkpoints:
             model_cfg = make_config(dict(hp["model"]))

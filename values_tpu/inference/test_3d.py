@@ -124,8 +124,15 @@ def build_engine(hparams: Dict, variables_list: List, args,
                  dtype=None) -> Tuple[SlidingWindowEngine, bool]:
     """Instantiate the model + engine for the checkpoint's C1 mode.
     Returns (engine, is_ssn)."""
+    import jax
     import jax.numpy as jnp
     dtype = dtype or jnp.dtype(getattr(args, "dtype", None) or "float32")
+    if dtype == jnp.float64 and not jax.config.jax_enable_x64:
+        # without x64, jnp silently demotes f64 to f32 — the parity
+        # harness would report f32 numbers as f64
+        raise ValueError("--dtype float64 requires x64 mode; set "
+                         "JAX_ENABLE_X64=1 (or jax.config.update"
+                         "('jax_enable_x64', True)) before running")
     model_cfg = make_config(dict(hparams["model"]))
     extra = {}
     if hparams.get("aleatoric_loss") is not None:
