@@ -79,10 +79,7 @@ def build_workload():
     _, grouped_predictor = make_grouped_ensemble_predictor(
         2, N_MEMBERS, 8, dtype=jnp.bfloat16)
 
-    from values_tpu.ops.aggregation import aggregate_all
-
-    def aggregate(unc):  # (B, D, H, W) -> dict of (B,) scalars
-        return aggregate_all(unc, patch=AGG_PATCH, threshold=THRESHOLD)
+    from values_tpu.ops.aggregation import UNC_KEYS, aggregate_all_maps
 
     @jax.jit
     def step(stacked_variables, volumes, gt, rng):
@@ -98,9 +95,12 @@ def build_workload():
         dice = jax.vmap(per_volume_dice)(seg, gt)
 
         rows = [dice]
-        for unc in (stats["pred_entropy"], stats["expected_entropy"],
-                    stats["mutual_information"]):
-            agg = aggregate(unc)
+        # linear C3 aggregation: MI's box/image sums derived from PE/EE
+        # (scripts/bench_agg_batched.py A/B; VALUES_TPU_AGG_LINEAR=0 reverts)
+        aggs = aggregate_all_maps({k: stats[k] for k in UNC_KEYS},
+                                  patch=AGG_PATCH, threshold=THRESHOLD)
+        for key in UNC_KEYS:
+            agg = aggs[key]
             rows.extend([agg["patch_level"], agg["image_level"],
                          agg["threshold"]])
         return jnp.stack(rows)  # (10, B) scalars per batch

@@ -5,7 +5,8 @@ from scipy.signal import convolve
 
 import jax.numpy as jnp
 
-from values_tpu.ops.aggregation import (aggregate_all, box_filter_sum,
+from values_tpu.ops.aggregation import (UNC_KEYS, aggregate_all,
+                                        aggregate_all_maps, box_filter_sum,
                                         patch_level_max, threshold_mean)
 
 
@@ -38,3 +39,40 @@ def test_aggregate_all_shapes(rng):
     x = jnp.asarray(rng.rand(3, 16, 16, 16).astype(np.float32))
     out = aggregate_all(x, patch=4, threshold=0.5)
     assert all(v.shape == (3,) for v in out.values())
+
+
+def _entropy_like_maps(rng, b=3, n=16):
+    """PE/EE/MI triple with real structure: MI = PE - EE >= 0."""
+    pe = rng.rand(b, n, n, n).astype(np.float32) * 0.7
+    ee = pe * rng.rand(b, n, n, n).astype(np.float32)
+    return {"pred_entropy": jnp.asarray(pe),
+            "expected_entropy": jnp.asarray(ee),
+            "mutual_information": jnp.asarray(pe - ee)}
+
+
+def test_aggregate_all_maps_linear_matches_per_map(rng):
+    maps = _entropy_like_maps(rng)
+    got = aggregate_all_maps(maps, patch=4, threshold=0.3, linear=True)
+    want = aggregate_all_maps(maps, patch=4, threshold=0.3, linear=False)
+    for key in UNC_KEYS:
+        # PE/EE ride the identical ops (stacking is per-item independent);
+        # MI's box/image sums are derived by subtraction -> f32 rounding
+        tol = dict(rtol=1e-5, atol=1e-4) if key == "mutual_information" \
+            else dict(rtol=0, atol=0)
+        for a in ("patch_level", "image_level", "threshold"):
+            np.testing.assert_allclose(np.asarray(got[key][a]),
+                                       np.asarray(want[key][a]),
+                                       err_msg=f"{key}/{a}", **tol)
+
+
+def test_aggregate_all_maps_per_key_thresholds(rng):
+    maps = _entropy_like_maps(rng)
+    thrs = (0.2, 0.1, 0.05)
+    got = aggregate_all_maps(maps, patch=4, threshold=thrs)
+    for key, t in zip(UNC_KEYS, thrs):
+        want = aggregate_all(maps[key], patch=4, threshold=t)
+        np.testing.assert_allclose(np.asarray(got[key]["threshold"]),
+                                   np.asarray(want["threshold"]),
+                                   rtol=1e-6, err_msg=key)
+    with pytest.raises(ValueError):
+        aggregate_all_maps(maps, patch=4, threshold=(0.1, 0.2))

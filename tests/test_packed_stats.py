@@ -77,6 +77,22 @@ def test_packed_aggregations_match_unpacked(stack, patch):
                 rtol=2e-5, err_msg=f"{key} patch={patch} item={i}")
 
 
+def test_packed_aggregate_all_maps_linear_matches_per_map(stack):
+    probs = jax.nn.softmax(stack, axis=-1)
+    stats = uncertainty.fused_sample_statistics(probs, class_axis=-1)
+    packed = {k: pack_ndhwc(stats[k][..., None], BP)[:, :, :, 0, :]
+              for k in aggregation.UNC_KEYS}
+    got = packed_stats.packed_aggregate_all_maps(
+        packed, BP, patch=4, threshold=(0.3, 0.2, 0.05), linear=True)
+    want = packed_stats.packed_aggregate_all_maps(
+        packed, BP, patch=4, threshold=(0.3, 0.2, 0.05), linear=False)
+    for key in aggregation.UNC_KEYS:
+        for a in ("patch_level", "image_level", "threshold"):
+            np.testing.assert_allclose(
+                np.asarray(got[key][a]), np.asarray(want[key][a]),
+                rtol=1e-5, atol=1e-4, err_msg=f"{key}/{a}")
+
+
 def test_threshold_count_zero_quirk():
     """count == 0 returns the (zero) SUM even in mean mode
     (aggregate_uncertainties.py:62-67)."""

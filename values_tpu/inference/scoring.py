@@ -107,27 +107,22 @@ def _packed_mean_rater_dice(seg, gt, bp, ignore_index):
         ignore_index=ignore_index)
 
 
-def _per_unc_thresholds(threshold):
-    """A scalar threshold applies to all three uncertainty classes; a
-    3-sequence is keyed by UNC_KEYS order (PE, EE, MI) — the
-    reference's per-(pred_model, unc-class) threshold_analysis.json
-    scheme (aggregate_uncertainties.py:73-91)."""
-    if isinstance(threshold, (tuple, list)):
-        if len(threshold) != len(UNC_KEYS):
-            raise ValueError(f"need {len(UNC_KEYS)} thresholds "
-                             f"(PE, EE, MI), got {len(threshold)}")
-        return tuple(float(t) for t in threshold)
-    return (float(threshold),) * len(UNC_KEYS)
+# A scalar threshold applies to all three uncertainty classes; a
+# 3-sequence is keyed by UNC_KEYS order (PE, EE, MI) — the reference's
+# per-(pred_model, unc-class) threshold_analysis.json scheme
+# (aggregate_uncertainties.py:73-91). Validation lives with the
+# aggregators:
+from ..ops.aggregation import _per_key_thresholds as _per_unc_thresholds
 
 
 def _score_from_stats(stats, gt, bp, *, agg_patch, threshold,
                       ignore_index):
     seg = jnp.argmax(stats["mean_softmax"], axis=-2).astype(jnp.int32)
     rows = [_packed_mean_rater_dice(seg, gt, bp, ignore_index)]
-    for key, thr in zip(UNC_KEYS, _per_unc_thresholds(threshold)):
-        agg = packed_stats.packed_aggregate_all(
-            stats[key], bp, patch=agg_patch, threshold=thr)
-        rows.extend(agg[a] for a in AGG_KEYS)
+    aggs = packed_stats.packed_aggregate_all_maps(
+        stats, bp, patch=agg_patch, threshold=threshold)
+    for key in UNC_KEYS:
+        rows.extend(aggs[key][a] for a in AGG_KEYS)
     return jnp.stack(rows)
 
 
@@ -548,7 +543,7 @@ def make_packed_ssn_scorer(num_classes: int, members: int, patch: int, *,
         stats = streaming_finalize(carry, members * n_pred,
                                    class_axis=-1)
 
-        from ..ops.aggregation import aggregate_all
+        from ..ops.aggregation import aggregate_all_maps
         from ..ops.metrics import dice_from_stats, dice_stats
         seg = jnp.argmax(stats["mean_softmax"], axis=-1).astype(jnp.int32)
         per_rater = jax.vmap(lambda a, g: dice_from_stats(
@@ -560,10 +555,10 @@ def make_packed_ssn_scorer(num_classes: int, members: int, patch: int, *,
         else:
             dice = per_rater(seg, gt)
         rows = [dice]
-        for key, thr in zip(UNC_KEYS, _per_unc_thresholds(threshold)):
-            agg = aggregate_all(stats[key], patch=agg_patch,
-                                threshold=thr)
-            rows.extend(agg[a] for a in AGG_KEYS)
+        aggs = aggregate_all_maps({k: stats[k] for k in UNC_KEYS},
+                                  patch=agg_patch, threshold=threshold)
+        for key in UNC_KEYS:
+            rows.extend(aggs[key][a] for a in AGG_KEYS)
         return jnp.stack(rows)[:, :b]
 
     return score, score_rows()

@@ -126,9 +126,21 @@ def packed_aggregate_all(unc: jnp.ndarray, bp: int, patch: int = 10,
     threshold_agg = jnp.where(t_cnt > 0, t_sum / jnp.maximum(t_cnt, 1.0),
                               t_sum)
 
-    # patch-level: separable box sums. cumsum-difference along D and H
-    # (f32; the values are bounded entropies so the running sums stay
-    # well-conditioned), banded lane matmul along W.
+    patch_level = jnp.max(_packed_box_sums(u, bp, patch),
+                          axis=(1, 2, 4)).reshape(nb * bp)
+
+    return {"patch_level": patch_level, "image_level": image_level,
+            "threshold": threshold_agg}
+
+
+def _packed_box_sums(u: jnp.ndarray, bp: int, patch: int) -> jnp.ndarray:
+    """'valid' patch^3 box sums of a packed f32 map (nb, D, H, lanes) ->
+    (nb, D', H', bp, W'): separable cumsum-differences along D and H
+    (f32; the values are bounded entropies so the running sums stay
+    well-conditioned), one banded lane matmul along W."""
+    nb, d, h, lanes = u.shape
+    w = lanes // bp
+
     def box_axis(x, axis):
         c = jnp.cumsum(x, axis=axis)
         pad = [(0, 0)] * x.ndim
@@ -144,11 +156,56 @@ def packed_aggregate_all(unc: jnp.ndarray, bp: int, patch: int = 10,
     boxed = jax.lax.dot_general(
         s.reshape(nb, -1, lanes), bw, (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    boxed = boxed.reshape(nb, d - patch + 1, h - patch + 1, bp, n_out)
-    patch_level = jnp.max(boxed, axis=(1, 2, 4)).reshape(nb * bp)
+    return boxed.reshape(nb, d - patch + 1, h - patch + 1, bp, n_out)
 
-    return {"patch_level": patch_level, "image_level": image_level,
-            "threshold": threshold_agg}
+
+def packed_aggregate_all_maps(stats: Dict[str, jnp.ndarray], bp: int,
+                              patch: int = 10, threshold=0.3,
+                              linear: bool | None = None
+                              ) -> Dict[str, Dict[str, jnp.ndarray]]:
+    """:func:`packed_aggregate_all` over the three uncertainty maps of a
+    packed stats dict at once — the packed analog of
+    ops.aggregation.aggregate_all_maps. With ``linear=True`` (default;
+    VALUES_TPU_AGG_LINEAR=0 reverts) the linear aggregations
+    (box-filter max's box sums, image sums) run once on PE and EE
+    concatenated along the block axis and MI's are derived by
+    subtraction (MI = PE - EE); threshold_mean is nonlinear and always
+    runs per map. ``threshold`` is a scalar or per-key (PE, EE, MI)
+    3-sequence."""
+    from .aggregation import (UNC_KEYS, _per_key_thresholds,
+                              linear_agg_default)
+    if linear is None:
+        linear = linear_agg_default()
+    thrs = _per_key_thresholds(threshold)
+    if not linear:
+        return {k: packed_aggregate_all(stats[k], bp, patch=patch,
+                                        threshold=t)
+                for k, t in zip(UNC_KEYS, thrs)}
+    pe = stats[UNC_KEYS[0]].astype(jnp.float32)
+    ee = stats[UNC_KEYS[1]].astype(jnp.float32)
+    nb = pe.shape[0]
+    n = nb * bp
+    duo = jnp.concatenate([pe, ee], axis=0)
+    box = _packed_box_sums(duo, bp, patch)   # (2nb, D', H', bp, W')
+    box_pe, box_ee = box[:nb], box[nb:]
+    patches = tuple(jnp.max(bx, axis=(1, 2, 4)).reshape(n)
+                    for bx in (box_pe, box_ee, box_pe - box_ee))
+    img = item_sums(duo, bp)
+    imgs = (img[:n], img[n:], img[:n] - img[n:])
+    out = {}
+    for key, px, im, thr in zip(UNC_KEYS, patches, imgs, thrs):
+        u = stats[key].astype(jnp.float32)
+        mask = (u >= thr)
+        t_sum = item_sums(jnp.where(mask, u, 0.0), bp)
+        t_cnt = item_sums(mask.astype(jnp.float32), bp)
+        out[key] = {
+            "patch_level": px,
+            "image_level": im,
+            "threshold": jnp.where(t_cnt > 0,
+                                   t_sum / jnp.maximum(t_cnt, 1.0),
+                                   t_sum),
+        }
+    return out
 
 
 def pack_labels(gt: jnp.ndarray, bp: int) -> jnp.ndarray:
